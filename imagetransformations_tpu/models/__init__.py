@@ -1,0 +1,8 @@
+from imagetransformations_tpu.models.resnet import (  # noqa: F401
+    CifarResNet,
+    resnet20,
+    resnet56,
+    load_torch_state_dict,
+)
+from imagetransformations_tpu.models.simple_cnn import SimpleCNN  # noqa: F401
+from imagetransformations_tpu.models.bayesian import BayesianCNN  # noqa: F401

@@ -1,0 +1,338 @@
+"""Geometric warps as inverse-mapping gather ops (NHWC, batched, jittable).
+
+One generic ``affine_warp`` core implements PIL's exact sampling conventions
+(see oracle/warp.py for the empirically verified spec); rotate / shear /
+translate / zoom are thin matrix constructors over it, so arbitrary chains of
+geometric ops compose into a *single* gather by multiplying 3x3 matrices
+(pipeline.chain does this fusion).
+
+``apply_scale`` reproduces the reference's LANCZOS resize + center crop/pad
+(transformation.py:173-196) as two coefficient matmuls (MXU-friendly), with
+PIL's per-pass uint8 quantization.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from imagetransformations_tpu.core.image import as_batch, as_float, restore_layout
+from imagetransformations_tpu.core.jitutil import is_traced, op_jit
+from imagetransformations_tpu.oracle import warp as _ow
+
+F32 = jnp.float32
+
+
+# ------------------------------------------------------------------ matrices
+
+
+def rotation_matrix(angle_deg, w: int, h: int) -> jnp.ndarray:
+    """Inverse-map matrix for the reference's apply_rotation(img, angle).
+
+    Reference calls PIL ``img.rotate(-angle)`` (transformation.py:198-201) and
+    PIL negates internally, so the source-coordinate rotation is by ``-angle``
+    after the two negations cancel into PIL's matrix convention.
+    Accepts a scalar or [N] array of degrees; returns [N, 6].
+    """
+    xp = jnp if is_traced(angle_deg) else np
+    a = xp.deg2rad(xp.atleast_1d(xp.asarray(angle_deg, dtype=np.float32 if xp is np else F32)))
+    cos, sin = xp.cos(a), xp.sin(a)
+    cx, cy = w / 2.0, h / 2.0
+    m0, m1, m3, m4 = cos, sin, -sin, cos
+    m2 = m0 * (-cx) + m1 * (-cy) + cx
+    m5 = m3 * (-cx) + m4 * (-cy) + cy
+    out = xp.stack([m0, m1, m2, m3, m4, m5], axis=-1)
+    return out if xp is jnp else out.astype(np.float32)
+
+
+def translation_matrix(tx, ty) -> jnp.ndarray:
+    """Integer-pixel shift: out(x,y) <- src(x-tx, y-ty), zero fill."""
+    xp = jnp if (is_traced(tx) or is_traced(ty)) else np
+    tx = xp.atleast_1d(xp.asarray(tx, dtype=np.float32 if xp is np else F32))
+    ty = xp.broadcast_to(xp.atleast_1d(xp.asarray(ty, dtype=tx.dtype)), tx.shape)
+    one = xp.ones_like(tx)
+    zero = xp.zeros_like(tx)
+    out = xp.stack([one, zero, -xp.floor(tx), zero, one, -xp.floor(ty)], axis=-1)
+    return out if xp is jnp else out.astype(np.float32)
+
+
+def zoom_matrix(factor, w: int, h: int) -> jnp.ndarray:
+    """Zoom about the image center (keeps canvas size; factor>1 magnifies)."""
+    xp = jnp if is_traced(factor) else np
+    f = xp.atleast_1d(xp.asarray(factor, dtype=np.float32 if xp is np else F32))
+    inv = 1.0 / f
+    cx, cy = w / 2.0, h / 2.0
+    zero = xp.zeros_like(f)
+    out = xp.stack([inv, zero, cx - inv * cx, zero, inv, cy - inv * cy], axis=-1)
+    return out if xp is jnp else out.astype(np.float32)
+
+
+def compose_matrices(m_outer: jnp.ndarray, m_inner: jnp.ndarray) -> jnp.ndarray:
+    """Compose two inverse-map [N,6] affines: result = inner ∘ outer.
+
+    Applying warp(m_outer) then warp(m_inner) to an image equals a single
+    warp with ``compose_matrices(m_inner, m_outer)`` -- the key fusion rule
+    used by pipeline.chain to collapse geometric chains into one gather.
+    For inverse maps: out->src1 via m_outer(sic), see chain.py for usage.
+    """
+    a = jnp.atleast_2d(m_outer)
+    b = jnp.atleast_2d(m_inner)
+    # treat each as 3x3 with last row [0,0,1]; result = b_applied_after? No:
+    # inverse maps compose in application order: coords -> m_outer -> m_inner
+    r0 = b[:, 0] * a[:, 0] + b[:, 1] * a[:, 3]
+    r1 = b[:, 0] * a[:, 1] + b[:, 1] * a[:, 4]
+    r2 = b[:, 0] * a[:, 2] + b[:, 1] * a[:, 5] + b[:, 2]
+    r3 = b[:, 3] * a[:, 0] + b[:, 4] * a[:, 3]
+    r4 = b[:, 3] * a[:, 1] + b[:, 4] * a[:, 4]
+    r5 = b[:, 3] * a[:, 2] + b[:, 4] * a[:, 5] + b[:, 5]
+    return jnp.stack([r0, r1, r2, r3, r4, r5], axis=-1)
+
+
+# ------------------------------------------------------------------ core warp
+
+
+def _gather(x: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Clamped gather x[n, yi[n,h,w], xi[n,h,w], :] -> [N,H',W',C]."""
+    n, h, w, _ = x.shape
+    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    bidx = jnp.arange(n).reshape(n, 1, 1)
+    return x[bidx, yi, xi]
+
+
+@op_jit(static=("out_size", "method", "fill"))
+def affine_warp(
+    img: jnp.ndarray,
+    matrix: jnp.ndarray,
+    out_size: tuple[int, int] | None = None,
+    method: str = "bilinear",
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Inverse-mapping affine warp with PIL-exact sampling.
+
+    matrix: [6] or [N,6] = (a,b,c,d,e,f): src_x = a*(x+.5)+b*(y+.5)+c,
+    src_y = d*(x+.5)+e*(y+.5)+f. method in {nearest, bilinear, bicubic}.
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    out_h, out_w = out_size or (h, w)
+    m = jnp.broadcast_to(jnp.atleast_2d(jnp.asarray(matrix, dtype=F32)), (n, 6))
+    m = m.reshape(n, 6, 1, 1)
+    yo = jnp.arange(out_h, dtype=F32).reshape(1, out_h, 1) + F32(0.5)
+    xo = jnp.arange(out_w, dtype=F32).reshape(1, 1, out_w) + F32(0.5)
+    xx = m[:, 0] * xo + m[:, 1] * yo + m[:, 2]
+    yy = m[:, 3] * xo + m[:, 4] * yo + m[:, 5]
+    valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+    xf = as_float(x)
+
+    if method == "nearest":
+        xi = jnp.floor(xx).astype(jnp.int32)
+        yi = jnp.floor(yy).astype(jnp.int32)
+        out = _gather(xf, yi, xi)
+        quant = None
+    elif method == "bilinear":
+        xin, yin = xx - 0.5, yy - 0.5
+        x0 = jnp.floor(xin).astype(jnp.int32)
+        y0 = jnp.floor(yin).astype(jnp.int32)
+        fx = (xin - x0.astype(F32))[..., None]
+        fy = (yin - y0.astype(F32))[..., None]
+        a = _gather(xf, y0, x0)
+        b = _gather(xf, y0, x0 + 1)
+        c = _gather(xf, y0 + 1, x0)
+        d = _gather(xf, y0 + 1, x0 + 1)
+        v1 = a + fx * (b - a)
+        v2 = c + fx * (d - c)
+        out = v1 + fy * (v2 - v1)
+        quant = "trunc"
+    elif method == "bicubic":
+        xin, yin = xx - 0.5, yy - 0.5
+        x0 = jnp.floor(xin).astype(jnp.int32)
+        y0 = jnp.floor(yin).astype(jnp.int32)
+        fx = (xin - x0.astype(F32))[..., None]
+        fy = (yin - y0.astype(F32))[..., None]
+
+        def cubic(v1, v2, v3, v4, d):
+            p2 = -v1 + v3
+            p3 = 2 * (v1 - v2) + v3 - v4
+            p4 = -v1 + v2 - v3 + v4
+            return v2 + d * (p2 + d * (p3 + d * p4))
+
+        rows = []
+        for j in range(-1, 3):
+            cols = [_gather(xf, y0 + j, x0 + i) for i in range(-1, 3)]
+            rows.append(cubic(cols[0], cols[1], cols[2], cols[3], fx))
+        out = cubic(rows[0], rows[1], rows[2], rows[3], fy)
+        quant = "clip_trunc"
+    else:
+        raise ValueError(f"unknown warp method {method!r}")
+
+    if img.dtype == jnp.uint8:
+        if quant == "trunc":
+            out = jnp.clip(jnp.trunc(out), 0.0, 255.0)
+        elif quant == "clip_trunc":
+            out = jnp.where(out <= 0, 0.0, jnp.where(out >= 255, 255.0, jnp.trunc(out)))
+        out = jnp.where(valid[..., None], out, F32(fill)).astype(jnp.uint8)
+    else:
+        out = jnp.where(valid[..., None], out, F32(fill))
+    return restore_layout(out, single)
+
+
+# ------------------------------------------------------------------ public ops
+
+
+def apply_rotation(img: jnp.ndarray, angle) -> jnp.ndarray:
+    """Reference apply_rotation: PIL rotate(-angle), NEAREST, black fill.
+
+    For static python-float angles the matrix is built in float64 on host for
+    exact PIL parity; traced [N] angles use on-device f32 matrices.
+    """
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    if isinstance(angle, (int, float)):
+        m = jnp.asarray(np.asarray(_ow.pil_rotate_matrix(-float(angle), w, h), np.float32))
+    else:
+        m = rotation_matrix(angle, w, h)
+    out = affine_warp(x, m, method="nearest", fill=0.0)
+    return restore_layout(out, single)
+
+
+def apply_translation(img: jnp.ndarray, tx, ty=None) -> jnp.ndarray:
+    """Reference apply_translation: integer shift, black fill (crop+paste)."""
+    if ty is None:
+        ty = tx
+    x, single = as_batch(img)
+    out = affine_warp(x, translation_matrix(tx, ty), method="nearest", fill=0.0)
+    return restore_layout(out, single)
+
+
+@op_jit(static=("shear_factor",))
+def apply_shear(img: jnp.ndarray, shear_factor: float) -> jnp.ndarray:
+    """Reference apply_shear: widened canvas, AFFINE BICUBIC, white fill."""
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    s = float(shear_factor)
+    m = jnp.asarray(np.asarray(_ow.shear_matrix(s, h), np.float32))
+    out_w = _ow.shear_out_width(s, w, h)
+    out = affine_warp(x, m, out_size=(h, out_w), method="bicubic", fill=255.0)
+    return restore_layout(out, single)
+
+
+def random_zoom(img: jnp.ndarray, factor) -> jnp.ndarray:
+    """Center zoom keeping canvas size (fall_2025/transformations_code:50)."""
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    out = affine_warp(x, zoom_matrix(factor, w, h), method="bilinear", fill=0.0)
+    return restore_layout(out, single)
+
+
+@op_jit
+def flip_vertical(img: jnp.ndarray) -> jnp.ndarray:
+    """Vertical flip (fall_2025/transformations_code:39)."""
+    x, single = as_batch(img)
+    return restore_layout(jnp.flip(x, axis=1), single)
+
+
+@op_jit(static=("crop_h", "crop_w"))
+def center_crop(img: jnp.ndarray, crop_h: int, crop_w: int) -> jnp.ndarray:
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    top, left = (h - crop_h) // 2, (w - crop_w) // 2
+    return restore_layout(x[:, top : top + crop_h, left : left + crop_w], single)
+
+
+@op_jit(static=("fill",))
+def perspective_warp(img: jnp.ndarray, coeffs, fill: float = 0.0) -> jnp.ndarray:
+    """Projective warp: src = (a x + b y + c, d x + e y + f) / (g x + h y + 1).
+
+    coeffs: [8] or [N,8] inverse-map homography (torchvision-style
+    perspective, fall_2025/transformations_code:54-67). Bilinear sampling.
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    cf = jnp.broadcast_to(jnp.atleast_2d(jnp.asarray(coeffs, dtype=F32)), (n, 8))
+    cf = cf.reshape(n, 8, 1, 1)
+    yo = jnp.arange(h, dtype=F32).reshape(1, h, 1) + F32(0.5)
+    xo = jnp.arange(w, dtype=F32).reshape(1, 1, w) + F32(0.5)
+    den = cf[:, 6] * xo + cf[:, 7] * yo + 1.0
+    xx = (cf[:, 0] * xo + cf[:, 1] * yo + cf[:, 2]) / den
+    yy = (cf[:, 3] * xo + cf[:, 4] * yo + cf[:, 5]) / den
+    # reuse the bilinear core by inlining a per-pixel matrix-free warp
+    valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+    xf = as_float(x)
+    xin, yin = xx - 0.5, yy - 0.5
+    x0 = jnp.floor(xin).astype(jnp.int32)
+    y0 = jnp.floor(yin).astype(jnp.int32)
+    fx = (xin - x0.astype(F32))[..., None]
+    fy = (yin - y0.astype(F32))[..., None]
+    a = _gather(xf, y0, x0)
+    b = _gather(xf, y0, x0 + 1)
+    c = _gather(xf, y0 + 1, x0)
+    d = _gather(xf, y0 + 1, x0 + 1)
+    out = (a + fx * (b - a)) + fy * ((c + fx * (d - c)) - (a + fx * (b - a)))
+    if img.dtype == jnp.uint8:
+        out = jnp.clip(jnp.trunc(out), 0.0, 255.0)
+        out = jnp.where(valid[..., None], out, F32(fill)).astype(jnp.uint8)
+    else:
+        out = jnp.where(valid[..., None], out, F32(fill))
+    return restore_layout(out, single)
+
+
+# ------------------------------------------------------------------ resize
+
+
+def _resize_matrix_fixed(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """Dense [out,in] int32 fixed-point (2^22) filter matrix (PIL coefficients)."""
+    bounds, kk = _ow.resize_coeffs(in_size, out_size, method)
+    mat = np.zeros((out_size, in_size), np.int32)
+    for o in range(out_size):
+        xmin, xmax = bounds[o]
+        mat[o, xmin : xmin + xmax] = kk[o, :xmax]
+    return mat
+
+
+@op_jit(static=("out_w", "out_h", "method"))
+def pil_resize(img: jnp.ndarray, out_w: int, out_h: int, method: str = "lanczos") -> jnp.ndarray:
+    """PIL Image.resize, bit-exact: two int32 fixed-point matmuls.
+
+    PIL accumulates pixel * int22-coefficient in int32 with a pre-added
+    rounding half, shifts, clamps, and quantizes to uint8 *between* the
+    horizontal and vertical passes (Resample.c). Integer accumulation keeps
+    this exact (max |acc| < 2^31 for 8-bit pixels and lanczos3 lobes); a f32
+    path would drift up to 2 LSB at rounding boundaries.
+    """
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    hmat = jnp.asarray(_resize_matrix_fixed(w, out_w, method))
+    vmat = jnp.asarray(_resize_matrix_fixed(h, out_h, method))
+    half = jnp.int32(1 << (_ow.PRECISION_BITS - 1))
+    xi = jnp.clip(jnp.trunc(as_float(x)), 0.0, 255.0).astype(jnp.int32)
+    t = jnp.einsum("nhwc,ow->nhoc", xi, hmat, preferred_element_type=jnp.int32)
+    t = jnp.clip(jnp.right_shift(t + half, _ow.PRECISION_BITS), 0, 255)
+    o = jnp.einsum("nhwc,oh->nowc", t, vmat, preferred_element_type=jnp.int32)
+    o = jnp.clip(jnp.right_shift(o + half, _ow.PRECISION_BITS), 0, 255)
+    out = o.astype(jnp.uint8) if img.dtype == jnp.uint8 else o.astype(F32)
+    return restore_layout(out, single)
+
+
+@op_jit(static=("scale_factor",))
+def apply_scale(img: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
+    """Reference apply_scale: LANCZOS resize then center crop (up) or black
+    pad (down) back to the original canvas (transformation.py:173-196)."""
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    sf = float(scale_factor)
+    nw, nh = int(w * sf), int(h * sf)
+    scaled = pil_resize(x, nw, nh, "lanczos")
+    if sf > 1.0:
+        left, top = (nw - w) // 2, (nh - h) // 2
+        out = scaled[:, top : top + h, left : left + w]
+    elif sf < 1.0:
+        px, py = (w - nw) // 2, (h - nh) // 2
+        out = jnp.zeros_like(x)
+        out = out.at[:, py : py + nh, px : px + nw].set(scaled)
+    else:
+        out = scaled
+    return restore_layout(out, single)

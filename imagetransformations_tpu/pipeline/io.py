@@ -1,0 +1,127 @@
+"""Host-side data I/O: folder walkers, CIFAR-10-C npy loaders, device prefetch.
+
+TPU-native rebuild of the reference's L0 layer:
+- ``load_folder_images``  <- transformation.py:73-89 (walk dir for images)
+- ``load_cifar10c_npy``   <- transformation.py:19-71 (npy corruption tensors,
+  fixed severity sample indices) and FINAL_cifar_corrupted.py:45-48
+  (sev*10000 slicing)
+- ``prefetch_to_device``  <- DataLoader(num_workers=N) equivalent: a
+  double-buffered background-thread pipeline that overlaps host decode with
+  device compute (SURVEY.md SS2.11 last row).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterable, Iterator
+
+import numpy as np
+
+import jax
+
+IMAGE_EXTS = (".jpeg", ".jpg", ".png")
+
+#: transformation.py:33 — one sample index per severity block of 1001
+SEVERITY_SAMPLE_INDICES = (0, 1001, 2002, 3003, 4004)
+
+
+def walk_image_files(root: str, exts: tuple[str, ...] = IMAGE_EXTS) -> list[str]:
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.lower().endswith(exts):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def load_folder_images(root: str, size: tuple[int, int] | None = None) -> tuple[np.ndarray, list[str]]:
+    """Load a folder of images as one NHWC uint8 batch (+ their paths).
+
+    Images are optionally resized (PIL bilinear) to a common size; without
+    ``size`` all images must already share a shape.
+    """
+    from PIL import Image
+
+    paths = walk_image_files(root)
+    arrs = []
+    for p in paths:
+        img = Image.open(p).convert("RGB")
+        if size is not None:
+            img = img.resize(size, Image.BILINEAR)
+        arrs.append(np.asarray(img, np.uint8))
+    if not arrs:
+        return np.zeros((0, 0, 0, 3), np.uint8), []
+    return np.stack(arrs), paths
+
+
+def load_cifar10c_npy(
+    path: str, severity: int | None = None, sample_only: bool = False
+) -> np.ndarray:
+    """Load one CIFAR-10-C corruption file -> NHWC uint8.
+
+    Layout: [50000, 32, 32, 3] = 5 severities x 10000 images
+    (FINAL_cifar_corrupted.py:45-48). ``severity`` in 1..5 slices one block;
+    ``sample_only`` returns the reference's 5 preview indices
+    (transformation.py:33).
+    """
+    arr = np.load(path, mmap_mode="r")
+    if arr.ndim == 4 and arr.shape[1] == 3 and arr.shape[-1] != 3:
+        arr = np.transpose(arr, (0, 2, 3, 1))  # CHW -> HWC (transformation.py:41-43)
+    if sample_only:
+        return np.asarray(arr[list(SEVERITY_SAMPLE_INDICES)])
+    if severity is not None:
+        lo = (severity - 1) * 10000
+        return np.asarray(arr[lo : lo + 10000])
+    return np.asarray(arr)
+
+
+def iter_corruption_files(root: str) -> Iterator[tuple[str, str]]:
+    """Yield (corruption_name, path) for every .npy under root (labels.npy excluded)."""
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".npy") and f != "labels.npy":
+                yield os.path.splitext(f)[0], os.path.join(dirpath, f)
+
+
+def batched(arr: np.ndarray, batch_size: int) -> Iterator[np.ndarray]:
+    for i in range(0, len(arr), batch_size):
+        yield arr[i : i + batch_size]
+
+
+def prefetch_to_device(
+    host_batches: Iterable, buffer_size: int = 2, device=None
+) -> Iterator:
+    """Double-buffered host->device prefetch.
+
+    A background thread stages upcoming host batches onto the device while the
+    current batch computes — the TPU equivalent of DataLoader worker prefetch.
+    """
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    end = object()
+
+    def producer():
+        try:
+            for b in host_batches:
+                q.put(jax.device_put(b, device))
+        finally:
+            q.put(end)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        yield item
+
+
+def save_batch_images(images: np.ndarray, paths: list[str], out_dir: str, suffix: str) -> None:
+    """Write an NHWC uint8 batch back to disk (parity with transformation.py:160-162)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for img, p in zip(np.asarray(images), paths):
+        name = os.path.splitext(os.path.basename(p))[0]
+        Image.fromarray(img).save(os.path.join(out_dir, f"{name}_{suffix}.jpeg"))

@@ -1,0 +1,61 @@
+"""Multi-chip distribution: batch ("data") sharding over a device mesh.
+
+The transform workload is a pure map over images, so the multi-chip story is
+batch-dim sharding over ICI with zero collectives (SURVEY.md SS2.11): lay the
+NHWC batch out over a 1-D ``Mesh`` and let pjit partition every op. Metric
+reductions (evalx) use ``psum`` inside ``shard_map`` where needed.
+
+The reference's only parallelism is a single torch DataParallel wrap
+(attacks/fgsm.py:58); this module is its TPU-native replacement and also
+serves the models/uq training paths (dp axis).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_images(images: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jnp.ndarray:
+    """Place an NHWC batch with the batch dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(images, sharding)
+
+
+def sharded_apply(
+    fn: Callable[..., jnp.ndarray],
+    mesh: Mesh,
+    axis: str = "data",
+) -> Callable[..., jnp.ndarray]:
+    """jit ``fn`` with batch-sharded input/output over ``mesh``.
+
+    ``fn`` must be a pure per-batch function (first arg NHWC images); XLA
+    partitions every op along the batch dim — zero inter-chip traffic for
+    map-style transforms.
+    """
+    in_sharding = NamedSharding(mesh, P(axis))
+
+    def wrapped(images, *args, **kwargs):
+        images = jax.lax.with_sharding_constraint(images, in_sharding)
+        out = fn(images, *args, **kwargs)
+        return jax.lax.with_sharding_constraint(out, in_sharding)
+
+    return jax.jit(wrapped)
+
+
+def psum_mean(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Cross-chip mean for metric reductions inside shard_map bodies."""
+    return jax.lax.psum(jnp.mean(x), axis_name) / jax.lax.psum(1.0, axis_name)
