@@ -1,0 +1,143 @@
+"""TENT test-time adaptation as pure functional BN-parameter updates.
+
+Parity map (fall_2025/TENT_Pipelines.py):
+- configure_model_for_tent (:70-83): train only BatchNorm scale/bias, reset
+  running stats -> here: a param partition + fresh batch_stats; the forward
+  runs with batch statistics (train=True BN behavior).
+- tent entropy loss (:95-97): -(softmax * log_softmax).sum(1).mean()
+- tent_forward_and_adapt (:123-143): forward -> entropy -> backward ->
+  clip_grad_norm(1.0) -> Adam step, prediction from the SAME forward.
+- evaluate_with_tent_simple (:162-201): continuous adaptation across batches.
+- evaluate_with_tent_reset (:203-237): restore the full state every batch
+  (functional states make the reference's deep-copy hot spot free).
+- conditional variant (:239-303): adapt a batch iff >50% of its images have
+  256-bin pixel entropy above a threshold (ops.histogram.image_entropy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from imagetransformations_tpu.ops.histogram import image_entropy
+
+
+def entropy_loss(logits: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
+
+
+def _is_bn_param(path) -> bool:
+    names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+    return any("bn" in n.lower() or "batchnorm" in n.lower() for n in names)
+
+
+def partition_bn_params(params):
+    """Split params into (bn_params, frozen_params) pytrees with None holes."""
+    bn = jax.tree_util.tree_map_with_path(
+        lambda p, v: v if _is_bn_param(p) else None, params
+    )
+    frozen = jax.tree_util.tree_map_with_path(
+        lambda p, v: None if _is_bn_param(p) else v, params
+    )
+    return bn, frozen
+
+
+def merge_params(bn, frozen):
+    return jax.tree_util.tree_map(
+        lambda a, b: a if a is not None else b, bn, frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+@dataclasses.dataclass
+class TentState:
+    bn_params: Any
+    frozen_params: Any
+    opt_state: Any
+
+    def tree_flatten(self):
+        return (self.bn_params, self.frozen_params, self.opt_state), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(TentState, TentState.tree_flatten, TentState.tree_unflatten)
+
+
+def init_tent(params, lr: float = 2.5e-4):
+    """lr defaults per TENT_Pipelines.py:354 (1e-3 for the reset protocol)."""
+    bn, frozen = partition_bn_params(params)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    return TentState(bn, frozen, tx.init(bn)), tx
+
+
+def make_tent_step(model_apply: Callable, tx) -> Callable:
+    """Returns jitted ``step(state, x) -> (state', logits)``.
+
+    ``model_apply(params, x)`` must run BN in batch-statistics mode (the
+    reference resets running stats and keeps BN in train behavior).
+    """
+
+    @jax.jit
+    def step(state: TentState, x: jnp.ndarray):
+        def loss_fn(bn):
+            logits = model_apply(merge_params(bn, state.frozen_params), x)
+            return entropy_loss(logits), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.bn_params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.bn_params)
+        bn = optax.apply_updates(state.bn_params, updates)
+        return TentState(bn, state.frozen_params, opt_state), logits
+
+    return step
+
+
+def evaluate_with_tent(
+    model_apply, params, batches, labels_batches, lr: float = 2.5e-4,
+    protocol: str = "continuous", image_entropy_threshold: float = 1.16,
+):
+    """Run a TENT protocol over batches -> accuracy.
+
+    protocol: 'continuous' | 'reset' (restore state every batch) |
+    'conditional' (adapt iff >50% of the batch's images exceed the pixel-
+    entropy threshold; TENT_Pipelines.py:239-303). ``batches`` are
+    model-space inputs; image entropy is computed on the matching uint8
+    images when provided as (x, raw_u8) tuples.
+    """
+    state0, tx = init_tent(params, lr)
+    step = make_tent_step(model_apply, tx)
+
+    @jax.jit
+    def infer(state, x):
+        return model_apply(merge_params(state.bn_params, state.frozen_params), x)
+
+    state = state0
+    correct = total = 0
+    for xb, yb in zip(batches, labels_batches):
+        raw = None
+        if isinstance(xb, tuple):
+            xb, raw = xb
+        if protocol == "reset":
+            state = state0
+        if protocol == "conditional" and raw is not None:
+            ent = image_entropy(raw)
+            frac = float(jnp.mean((ent > image_entropy_threshold).astype(jnp.float32)))
+            if frac > 0.5:
+                state, logits = step(state, xb)
+            else:
+                logits = infer(state, xb)
+        else:
+            state, logits = step(state, xb)
+        pred = jnp.argmax(logits, axis=-1)
+        correct += int(jnp.sum(pred == yb))
+        total += int(yb.shape[0])
+    return correct / max(total, 1)

