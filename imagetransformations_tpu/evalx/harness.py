@@ -1,0 +1,181 @@
+"""Corruption-sweep evaluation harness (corruptions x severities x metrics).
+
+Parity map:
+- attacks/uncertainty/FINAL_cifar_corrupted.py: 15 corruptions x 5
+  severities x ~9 uncertainty metrics, per-severity accuracy, per-metric
+  AUROC for error detection -> ``corruption_sweep``.
+- The corruption generator itself reproduces the reference's two transform
+  pools (transformation.py severity grids + TransformationPool severity
+  lists, pipenline/cifar_image_transformations.py:37-129) as batched TPU
+  ops — this framework GENERATES corruption suites instead of loading the
+  precomputed CIFAR-10-C npy files (loading those is still supported via
+  pipeline.io.load_cifar10c_npy).
+- pipeline/cifar_iterative_mc.py:174-219 -> analyze_uncertainty_thresholds
+  (optimal threshold by Youden's J + above/below counts table).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from imagetransformations_tpu.ops import elementwise as ew
+from imagetransformations_tpu.ops import noise as nz
+from imagetransformations_tpu.ops import stencil as st
+from imagetransformations_tpu.ops import warp as wp
+from imagetransformations_tpu.uq import metrics as um
+from imagetransformations_tpu.uq.calibration import auroc, youden_threshold
+
+#: corruption name -> (fn(images_u8, severity_value, key), [5 severity values])
+CORRUPTIONS: dict[str, tuple[Callable, list]] = {
+    "gaussian_noise": (
+        lambda x, v, k: nz.gaussian_noise_01(x, v, key=k),
+        [0.08, 0.12, 0.18, 0.26, 0.38],
+    ),
+    "impulse_noise": (
+        lambda x, v, k: nz.impulse_noise(x, v, key=k),
+        [0.03, 0.06, 0.09, 0.17, 0.27],
+    ),
+    "shot_noise": (
+        lambda x, v, k: nz.shot_noise(x, v, key=k),
+        [60.0, 25.0, 12.0, 5.0, 3.0],
+    ),
+    "defocus_blur": (
+        lambda x, v, k: st.apply_blur(x, float(v)),
+        [1.0, 1.5, 2.0, 2.5, 3.0],
+    ),
+    "motion_blur": (
+        lambda x, v, k: st.motion_blur(x, int(v)),
+        [3, 5, 7, 9, 11],
+    ),
+    "zoom_blur": (
+        lambda x, v, k: wp.random_zoom(x, float(v)),
+        [1.06, 1.12, 1.18, 1.24, 1.31],
+    ),
+    "brightness": (
+        lambda x, v, k: ew.apply_brightness(x, float(v)),
+        [0.1, 0.2, 0.3, 0.4, 0.5],
+    ),
+    "contrast": (
+        lambda x, v, k: ew.apply_contrast(x, float(v)),
+        [0.75, 0.6, 0.45, 0.3, 0.15],
+    ),
+    "saturate": (
+        lambda x, v, k: ew.enhance_color(x, float(v)),
+        [0.6, 0.4, 0.25, 1.8, 2.5],
+    ),
+    "rotation": (
+        lambda x, v, k: wp.apply_rotation(x, float(v)),
+        [5.0, 10.0, 15.0, 20.0, 22.5],
+    ),
+    "translation": (
+        lambda x, v, k: wp.apply_translation(x, float(v)),
+        [2.0, 4.0, 6.0, 8.0, 10.0],
+    ),
+    "pixel_shuffle": (
+        lambda x, v, k: nz.impulse_noise(x, v, key=k),
+        [0.01, 0.02, 0.04, 0.08, 0.16],
+    ),
+}
+
+
+def corrupt(
+    images_u8: jnp.ndarray, name: str, severity: int, key: jax.Array
+) -> jnp.ndarray:
+    """Apply corruption ``name`` at severity 1..5 to a uint8 NHWC batch."""
+    fn, sevs = CORRUPTIONS[name]
+    return fn(images_u8, sevs[severity - 1], key)
+
+
+def evaluate_batched(
+    model_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    to_model_space: Callable[[jnp.ndarray], jnp.ndarray],
+    images_u8: jnp.ndarray,
+    labels: jnp.ndarray,
+    batch_size: int = 256,
+    metric_names: tuple[str, ...] = (
+        "shannon_entropy", "msp", "least_confidence", "margin", "ratio",
+        "max_logit", "energy", "doctor_alpha", "doctor_beta",
+    ),
+):
+    """Accuracy + per-sample metric arrays over a dataset (batched forwards)."""
+    all_logits = []
+    for i in range(0, images_u8.shape[0], batch_size):
+        xb = to_model_space(images_u8[i : i + batch_size])
+        all_logits.append(model_fn(xb))
+    logits = jnp.concatenate(all_logits)
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == labels).astype(jnp.float32)
+    metrics = {m: um.LOGIT_METRICS[m](logits) for m in metric_names}
+    return {
+        "accuracy": float(jnp.mean(correct)),
+        "correct": correct,
+        "logits": logits,
+        "metrics": metrics,
+    }
+
+
+def corruption_sweep(
+    model_fn,
+    to_model_space,
+    clean_images_u8: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    corruption_names: tuple[str, ...] | None = None,
+    severities: tuple[int, ...] = (1, 2, 3, 4, 5),
+    batch_size: int = 256,
+    metric_names: tuple[str, ...] = ("shannon_entropy", "msp", "margin", "energy"),
+):
+    """FINAL_cifar_corrupted-style sweep -> nested result dict.
+
+    result[corruption][severity] = {accuracy, auroc per metric}.
+    AUROC targets error detection: metric vs (prediction incorrect).
+    """
+    names = corruption_names or tuple(CORRUPTIONS)
+    out: dict = {}
+    for name in names:
+        out[name] = {}
+        for sev in severities:
+            key, k = jax.random.split(key)
+            imgs = corrupt(clean_images_u8, name, sev, k)
+            res = evaluate_batched(
+                model_fn, to_model_space, imgs, labels, batch_size, metric_names
+            )
+            errors = 1.0 - res["correct"]
+            aucs = {}
+            for m in metric_names:
+                score = res["metrics"][m]
+                if m in um.CONFIDENCE_METRICS:
+                    score = -score  # flip: higher metric = more confident
+                aucs[m] = float(auroc(score, errors))
+            out[name][sev] = {"accuracy": res["accuracy"], "auroc": aucs}
+    return out
+
+
+def analyze_uncertainty_thresholds(
+    metrics: dict[str, jnp.ndarray], correct: jnp.ndarray
+) -> dict[str, dict]:
+    """Optimal threshold by Youden's J + flagged counts per metric.
+
+    Parity with cifar_iterative_mc.py:174-219 (roc_curve -> argmax(tpr-fpr)).
+    Targets = misclassification.
+    """
+    errors = 1.0 - correct
+    table = {}
+    for name, score in metrics.items():
+        s = -score if name in um.CONFIDENCE_METRICS else score
+        thr = youden_threshold(s, errors)
+        flagged = s > thr
+        table[name] = {
+            "threshold": float(thr) * (-1.0 if name in um.CONFIDENCE_METRICS else 1.0),
+            "auroc": float(auroc(s, errors)),
+            "n_flagged": int(jnp.sum(flagged)),
+            "flagged_error_rate": float(
+                jnp.sum(errors * flagged) / jnp.maximum(jnp.sum(flagged), 1)
+            ),
+        }
+    return table

@@ -6,3 +6,9 @@ from imagetransformations_tpu.models.resnet import (  # noqa: F401
 )
 from imagetransformations_tpu.models.simple_cnn import SimpleCNN  # noqa: F401
 from imagetransformations_tpu.models.bayesian import BayesianCNN  # noqa: F401
+from imagetransformations_tpu.models.imagenet import (  # noqa: F401
+    ResNet50,
+    VGG19BN,
+    load_resnet50_torch_state_dict,
+    normalize_imagenet,
+)

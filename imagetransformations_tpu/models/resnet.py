@@ -56,11 +56,18 @@ class BasicBlock(nn.Module):
 
 
 class CifarResNet(nn.Module):
-    """ResNet for 32x32 inputs; depth = 6n+2 (n blocks per stage)."""
+    """ResNet for 32x32 inputs; depth = 6n+2 (n blocks per stage).
+
+    ``mc_dropout=True`` inserts Dropout(p) after each block activation —
+    the MC-dropout construction of pipeline/metrics/mutual_info.py:35-41
+    (Dropout(0.5) after ReLU/GELU modules); pass a 'dropout' rng and
+    ``train=False, mc=True`` to draw stochastic predictive samples.
+    """
 
     num_blocks: Sequence[int] = (9, 9, 9)  # resnet56
     num_classes: int = 10
     dtype: Any = jnp.float32
+    dropout_rate: float = 0.5
 
     def setup(self):
         self.conv1 = Conv3x3(16, dtype=self.dtype)
@@ -75,23 +82,26 @@ class CifarResNet(nn.Module):
                 )
         self.blocks = blocks
         self.fc = nn.Dense(self.num_classes, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
 
-    def backbone(self, x, train: bool = False):
+    def backbone(self, x, train: bool = False, mc: bool = False):
         x = nn.relu(self.bn1(self.conv1(x), use_running_average=not train))
         for block in self.blocks:
             x = block(x, train)
+            if mc:
+                x = self.dropout(x, deterministic=False)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> [N, 64]
 
-    def __call__(self, x, train: bool = False):
-        return self.fc(self.backbone(x, train))
+    def __call__(self, x, train: bool = False, mc: bool = False):
+        return self.fc(self.backbone(x, train, mc))
 
-    def features(self, x, train: bool = False):
+    def features(self, x, train: bool = False, mc: bool = False):
         """Penultimate pooled features (forward_features parity,
         pipeline/metrics/dknn2.py:109-120)."""
-        return self.backbone(x, train)
+        return self.backbone(x, train, mc)
 
-    def features_and_logits(self, x, train: bool = False):
-        feats = self.backbone(x, train)
+    def features_and_logits(self, x, train: bool = False, mc: bool = False):
+        feats = self.backbone(x, train, mc)
         return feats, self.fc(feats)
 
 

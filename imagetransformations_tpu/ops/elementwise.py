@@ -15,6 +15,7 @@ Reference semantics reproduced (cites into /root/reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from imagetransformations_tpu.core.image import as_batch, as_float, finalize, restore_layout
@@ -83,8 +84,14 @@ def enhance_contrast(img: jnp.ndarray, factor) -> jnp.ndarray:
     The mean is a per-image reduction — still a single fused pass on TPU.
     """
     x, single = as_batch(img)
-    gray = grayscale(x, keep_rgb=False).astype(F32)
-    mean = jnp.floor(jnp.mean(gray, axis=(1, 2, 3), keepdims=True) + 0.5)
+    gray = grayscale(x, keep_rgb=False).astype(jnp.int64)
+    # PIL: mean = int(Stat(L).mean + 0.5); integer math keeps the .5 boundary
+    # exact (f32 accumulation can flip it by 1)
+    total = jnp.sum(gray, axis=(1, 2, 3), keepdims=True)
+    npix = gray.shape[1] * gray.shape[2]
+    mean = ((2 * total + npix) // (2 * npix)).astype(F32)
+    # note: XLA CPU FMA-contracts this blend (rare 1-LSB 0.5-boundary flips);
+    # the TPU VPU rounds the product separately, matching PIL exactly
     out = mean + (as_float(x) - mean) * _pvec(factor, x.shape[0])
     return restore_layout(finalize(out, img.dtype, "trunc"), single)
 

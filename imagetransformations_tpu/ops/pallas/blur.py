@@ -45,19 +45,20 @@ def _blur_kernel(
     copy.start()
     copy.wait()
     xf = scratch[...].astype(jnp.int32).astype(jnp.float32)  # [th+2p, wpc]
-    rows = th + 2 * p
     k = len(taps)
+    # vertical pass: static sublane slices (only LANE offsets must be
+    # 128-aligned; sublane offsets are free) -> [th, wpc]
     acc = None
     for t in range(k):
-        sl = xf if t == 0 else pltpu.roll(xf, rows - t, axis=0)
-        term = sl * taps[t]
+        term = xf[t : t + th, :] * taps[t]
         acc = term if acc is None else acc + term
+    # horizontal pass: lane rolls by t*c (unaligned lane offsets need permutes)
     out = None
     for t in range(k):
         term = (acc if t == 0 else pltpu.roll(acc, wpc - t * c, axis=1)) * taps[t]
         out = term if out is None else out + term
     o_ref[0] = (
-        jnp.clip(jnp.rint(out[:th, :wc]), 0.0, 255.0)
+        jnp.clip(jnp.rint(out[:, :wc]), 0.0, 255.0)
         .astype(jnp.int32)
         .astype(jnp.uint8)
     )

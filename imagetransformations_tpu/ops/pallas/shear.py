@@ -42,7 +42,29 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _shear_kernel(k_ref, f_ref, x_ref, o_ref, *, wc: int, c: int):
+def _grayscale_lanes(xi: jnp.ndarray) -> jnp.ndarray:
+    """PIL L24 luma on an interleaved-RGB lane layout, via lane rolls.
+
+    xi: f32 integer pixel values, lanes = ...RGBRGB... . All intermediates
+    are integers < 2^24, exactly representable in f32, so this matches the
+    fixed-point formula (r*19595 + g*38470 + b*7471 + 0x8000) >> 16 exactly.
+    """
+    lanes = xi.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, xi.shape, xi.ndim - 1)
+    mod = jnp.mod(lane, 3)
+    cv = jnp.where(mod == 0, 19595.0, jnp.where(mod == 1, 38470.0, 7471.0))
+    p = xi * cv
+    # pixel sum lands on the center (G) lane: p[l-1] + p[l] + p[l+1]
+    sum3 = p + pltpu.roll(p, 1, axis=1) + pltpu.roll(p, lanes - 1, axis=1)
+    luma = jnp.floor((sum3 + 32768.0) * (1.0 / 65536.0))
+    return (
+        jnp.where(mod == 1, luma, 0.0)
+        + jnp.where(mod == 0, pltpu.roll(luma, lanes - 1, axis=1), 0.0)
+        + jnp.where(mod == 2, pltpu.roll(luma, 1, axis=1), 0.0)
+    )
+
+
+def _shear_kernel(k_ref, f_ref, x_ref, o_ref, *, wc: int, c: int, postop: str | None):
     h = pl.program_id(0)
     k = k_ref[h]
     f = f_ref[h]
@@ -54,7 +76,56 @@ def _shear_kernel(k_ref, f_ref, x_ref, o_ref, *, wc: int, c: int):
     a = a_full[:, :wc]
     b = b_full[:, :wc]
     out = a + f * (b - a)
-    o_ref[0] = jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    out = jnp.clip(jnp.trunc(out), 0.0, 255.0)
+    if postop == "grayscale":
+        out = _grayscale_lanes(out)
+    o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _shear_pad_params(shifts, wc: int, c: int, pad_px: int | None):
+    if pad_px is None:
+        if isinstance(shifts, np.ndarray):
+            pad_px = int(np.ceil(np.abs(shifts).max())) + 1
+        else:
+            pad_px = int(np.ceil(float(jnp.max(jnp.abs(shifts))))) + 1
+    pad_px = max(pad_px, 1)
+    pc = pad_px * c
+    wc_keep = _round_up(wc, 128)
+    # lane layout: [left pad pc][row wc][right pad]; sized so a roll by up to
+    # kmax = 2*pc (+c for the lerp partner) never wraps into the kept region
+    total = _round_up(wc_keep + 2 * pc + 2 * c, 128)
+    return pad_px, pc, wc_keep, total
+
+
+def _shear_core(
+    xt: jnp.ndarray,  # [rows, N, total] fill-padded lanes
+    shifts: jnp.ndarray,
+    pad_px: int,
+    wc_keep: int,
+    c: int,
+    postop: str | None,
+) -> jnp.ndarray:
+    """The pallas call on pre-padded row-major data -> [rows, N, wc_keep]."""
+    rows, n, total = xt.shape
+    shifts = jnp.asarray(shifts, jnp.float32)
+    k = (jnp.floor(shifts) + pad_px).astype(jnp.int32) * c
+    f = (shifts - jnp.floor(shifts)).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rows,),
+        in_specs=[
+            pl.BlockSpec((1, n, total), lambda i, k, f: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, wc_keep), lambda i, k, f: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_shear_kernel, wc=wc_keep, c=c, postop=postop),
+        out_shape=jax.ShapeDtypeStruct((rows, n, wc_keep), jnp.uint8),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(k, f, xt)
 
 
 def shear_rows(
@@ -62,6 +133,7 @@ def shear_rows(
     shifts: jnp.ndarray,
     fill: int = 0,
     pad_px: int | None = None,
+    postop: str | None = None,
 ) -> jnp.ndarray:
     """Shift each row y of an NHWC batch horizontally by ``shifts[y]`` pixels
     (shared across the batch), bilinear along x, ``fill`` outside.
@@ -71,42 +143,13 @@ def shear_rows(
     """
     n, h, w, c = img.shape
     wc = w * c
-    if pad_px is None:
-        if isinstance(shifts, np.ndarray):
-            pad_px = int(np.ceil(np.abs(shifts).max())) + 1
-        else:
-            pad_px = int(np.ceil(float(jnp.max(jnp.abs(shifts))))) + 1
-    pad_px = max(pad_px, 1)
-    shifts = jnp.asarray(shifts, jnp.float32)
-    pc = pad_px * c
-    wc_keep = _round_up(wc, 128)
-    # lane layout: [left pad pc][row wc][right pad]; sized so a roll by up to
-    # kmax = 2*pc (+c for the lerp partner) never wraps into the kept region
-    total = _round_up(wc_keep + 2 * pc + 2 * c, 128)
+    pad_px, pc, wc_keep, total = _shear_pad_params(shifts, wc, c, pad_px)
     x2 = img.reshape(n, h, wc)
     xp = jnp.pad(
         x2, [(0, 0), (0, 0), (pc, total - wc - pc)], constant_values=fill
     )
-    k = (jnp.floor(shifts) + pad_px).astype(jnp.int32) * c
-    f = (shifts - jnp.floor(shifts)).astype(jnp.float32)
-
     xt = xp.transpose(1, 0, 2)  # [H, N, total]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(h,),
-        in_specs=[
-            pl.BlockSpec((1, n, total), lambda i, k, f: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n, wc_keep), lambda i, k, f: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        functools.partial(_shear_kernel, wc=wc_keep, c=c),
-        out_shape=jax.ShapeDtypeStruct((h, n, wc_keep), jnp.uint8),
-        grid_spec=grid_spec,
-        interpret=_interpret(),
-    )(k, f, xt)
+    out = _shear_core(xt, shifts, pad_px, wc_keep, c, postop)
     return out[:, :, :wc].transpose(1, 0, 2).reshape(n, h, w, c)
 
 
@@ -122,8 +165,10 @@ def _row_shifts(size: int, slope: float, center: float) -> np.ndarray:
     return (slope * (y - center)).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("angle_deg", "fill"))
-def rotate_3shear(img: jnp.ndarray, angle_deg: float, fill: int = 0) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("angle_deg", "fill", "grayscale_out"))
+def rotate_3shear(
+    img: jnp.ndarray, angle_deg: float, fill: int = 0, grayscale_out: bool = False
+) -> jnp.ndarray:
     """Rotate an NHWC uint8 batch by ``angle_deg`` (reference apply_rotation
     sign convention) via three shears. Best for |angle| <= 45 deg (the
     reference grid is +-22.5, transformation.py:97).
@@ -132,10 +177,26 @@ def rotate_3shear(img: jnp.ndarray, angle_deg: float, fill: int = 0) -> jnp.ndar
     """
     n, h, w, c = img.shape
     a, b = _paeth_params(float(angle_deg))
-    sx1 = _row_shifts(h, a, h / 2.0)
-    x1 = shear_rows(img, sx1, fill)
-    xt = x1.transpose(0, 2, 1, 3)  # [N, W, H, C]
+    sx = _row_shifts(h, a, h / 2.0)
     sy = _row_shifts(w, b, w / 2.0)
-    x2 = shear_rows(xt, sy, fill)
-    x3 = x2.transpose(0, 2, 1, 3)
-    return shear_rows(x3, sx1, fill)
+    px_x, pc_x, keep_x, tot_x = _shear_pad_params(sx, w * c, c, None)
+    px_y, pc_y, keep_y, tot_y = _shear_pad_params(sy, h * c, c, None)
+
+    def pad_lanes(arr, wc, pc, total):
+        return jnp.pad(arr, [(0, 0), (0, 0), (pc, total - wc - pc)],
+                       constant_values=fill)
+
+    # pass 1 (shear X): rows = H. One fused transpose+pad into [H,N,W*C+pad].
+    xt = pad_lanes(img.transpose(1, 0, 2, 3).reshape(h, n, w * c), w * c, pc_x, tot_x)
+    y1 = _shear_core(xt, sx, px_x, keep_x, c, None)  # [H, N, keep_x]
+    # pass 2 (shear Y as X on transpose): rows = W. [H,N,W,C] -> [W,N,H*C].
+    y1v = y1[:, :, : w * c].reshape(h, n, w, c)
+    yt = pad_lanes(y1v.transpose(2, 1, 0, 3).reshape(w, n, h * c), h * c, pc_y, tot_y)
+    y2 = _shear_core(yt, sy, px_y, keep_y, c, None)  # [W, N, keep_y]
+    # pass 3 (shear X again): rows = H. [W,N,H,C] -> [H,N,W*C].
+    y2v = y2[:, :, : h * c].reshape(w, n, h, c)
+    zt = pad_lanes(y2v.transpose(2, 1, 0, 3).reshape(h, n, w * c), w * c, pc_x, tot_x)
+    y3 = _shear_core(
+        zt, sx, px_x, keep_x, c, "grayscale" if grayscale_out else None
+    )
+    return y3[:, :, : w * c].transpose(1, 0, 2).reshape(n, h, w, c)

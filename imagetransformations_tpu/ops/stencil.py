@@ -123,21 +123,24 @@ def motion_blur(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
     return restore_layout(_finalize(out, img.dtype), single)
 
 
-_SMOOTH = np.array([1.0, 1.0, 1.0, 1.0, 5.0, 1.0, 1.0, 1.0, 1.0], np.float32) / 13.0
-
-
 def _smooth3x3(x: jnp.ndarray) -> jnp.ndarray:
-    """PIL SMOOTH 3x3 conv with zero padding; borders replaced by input."""
+    """PIL SMOOTH 3x3 conv with zero padding; borders replaced by input.
+
+    Accumulates the INTEGER kernel sum exactly (max 13*255 < 2^24, f32-exact)
+    and divides by 13 once — per-tap multiplication by k/13 in f32 flips
+    0.5-boundary pixels by 1 LSB vs PIL.
+    """
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
     h, w = x.shape[1], x.shape[2]
+    weights = (1.0, 1.0, 1.0, 1.0, 5.0, 1.0, 1.0, 1.0, 1.0)
     acc = None
     idx = 0
     for dy in range(3):
         for dx in range(3):
-            term = xp[:, dy : dy + h, dx : dx + w, :] * _SMOOTH[idx]
+            term = xp[:, dy : dy + h, dx : dx + w, :] * weights[idx]
             acc = term if acc is None else acc + term
             idx += 1
-    sm = jnp.floor(acc + 0.5)
+    sm = jnp.floor(acc / 13.0 + 0.5)
     # PIL copies the 1-pixel border unchanged
     hy = jnp.arange(h).reshape(1, h, 1, 1)
     wx = jnp.arange(w).reshape(1, 1, w, 1)
@@ -157,6 +160,8 @@ def sharpen(img: jnp.ndarray, factor) -> jnp.ndarray:
     f = jnp.asarray(factor, dtype=F32)
     if f.ndim == 0:
         f = jnp.broadcast_to(f, (x.shape[0],))
+    # note: XLA CPU FMA-contracts this blend (rare 1-LSB 0.5-boundary flips);
+    # the TPU VPU rounds the product separately, matching PIL exactly
     out = sm + (xf - sm) * f.reshape(-1, 1, 1, 1)
     if img.dtype == jnp.uint8:
         out = jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)

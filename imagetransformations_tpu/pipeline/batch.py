@@ -21,13 +21,33 @@ from imagetransformations_tpu.ops import stencil as st
 from imagetransformations_tpu.ops import warp as wp
 from imagetransformations_tpu.pipeline.chain import Chain, build_chain_fn
 
+def _rotation_by_unique_angle(x, values, key):
+    """Per-image random angles -> grouped unique-angle 3-shear kernel calls.
+
+    The rotation grid has 19 values (transformation.py:97); each unique value
+    runs the shared-angle Pallas kernel on its image subset (executables are
+    cached per angle), avoiding the XLA gather warp entirely.
+    """
+    import numpy as np
+
+    from imagetransformations_tpu.ops.pallas.shear import rotate_3shear
+
+    vals = np.asarray(values)
+    out = jnp.zeros_like(x)
+    for v in np.unique(vals):
+        idx = np.nonzero(vals == v)[0]
+        res = rotate_3shear(x[jnp.asarray(idx)], float(v))
+        out = out.at[jnp.asarray(idx)].set(res)
+    return out
+
+
 #: transform type -> batched (images, values[N], key) -> images
 _BATCHED_OPS: dict[str, Callable] = {
     "lighten_darken": lambda x, v, k: ew.apply_brightness(x, v),
     "contrast": lambda x, v, k: ew.apply_contrast(x, v),
     "blur": lambda x, v, k: st.apply_blur(x, v),
     "gaussian_noise": lambda x, v, k: nz.apply_gaussian_noise(x, v, key=k),
-    "rotation": lambda x, v, k: wp.apply_rotation(x, v),
+    "rotation": _rotation_by_unique_angle,
     "translation": lambda x, v, k: wp.apply_translation(x, v, v),
     # scale/shear change intermediate canvas size -> value-specialized;
     # the batched fast path uses the affine zoom equivalent for scale.
@@ -55,6 +75,7 @@ def apply_all_transformations(
         "shear",
     ),
     pil_parity_scale_shear: bool = True,
+    pil_parity_rotation: bool = False,
 ) -> dict[str, tuple[jnp.ndarray, jnp.ndarray]]:
     """TPU equivalent of transformation.py:92-170.
 
@@ -75,7 +96,10 @@ def apply_all_transformations(
         vkey, okey = keys[2 * i], keys[2 * i + 1]
         values = sample_params(vkey, t, n)
         fn = _BATCHED_OPS.get(t)
-        if t == "shear" or (t == "scale" and pil_parity_scale_shear):
+        if t == "rotation" and pil_parity_rotation:
+            # exact PIL-NEAREST rotation per unique grid angle (gather path)
+            results = _apply_per_value(images, "rotation_pil", values)
+        elif t == "shear" or (t == "scale" and pil_parity_scale_shear):
             results = _apply_per_value(images, t, values)
         elif fn is None:
             continue
@@ -105,6 +129,8 @@ def _apply_per_value(images: jnp.ndarray, t: str, values: jnp.ndarray):
             res = wp.apply_scale(sub, float(v))
         elif t == "shear":
             res = wp.apply_shear(sub, float(v))[:, :, :w]
+        elif t == "rotation_pil":
+            res = wp.apply_rotation(sub, float(v))
         else:
             raise ValueError(t)
         out = out.at[jnp.asarray(idx)].set(res)

@@ -143,11 +143,16 @@ def build_chain_fn(
                 and x.dtype == jnp.uint8
             ):
                 # 3-shear Paeth rotation Pallas kernel (ops/pallas/shear.py):
-                # ~380x faster than the XLA gather warp on v5e
+                # ~380x faster than the XLA gather warp on v5e. A following
+                # grayscale op fuses into the kernel's last pass (XLA's
+                # strided per-channel luma costs ~6 ms/batch on NHWC lanes).
                 from imagetransformations_tpu.ops.pallas.shear import rotate_3shear
 
-                x = rotate_3shear(x, float(spec.params["angle"]))
-                i += 1
+                fuse_gray = i + 1 < len(chain) and chain[i + 1].name == "grayscale"
+                x = rotate_3shear(
+                    x, float(spec.params["angle"]), grayscale_out=fuse_gray
+                )
+                i += 2 if fuse_gray else 1
             elif not strict_parity and spec.name in _AFFINE_OPS:
                 # collect the maximal affine run and fuse into one gather
                 m = _affine_matrix(spec, w, h)

@@ -1,0 +1,185 @@
+"""End-to-end research workflows — the reference's driver scripts as APIs.
+
+Each function reproduces one of the reference's ``python <script>.py``
+entry points on top of the framework's batched TPU components:
+
+- ``uncertainty_report``       <- pipeline/cifar10_histogram4.py and the 16
+  pipeline/metrics/ scripts: all metrics + threshold table + histogram PNGs.
+- ``refinement_pipeline``      <- pipeline/cifar_iterative_{mc,ms,ds}.py: full
+  metric sweep -> Youden thresholds -> reverse-FGSM refinement -> re-eval.
+- ``tent_sweep``               <- fall_2025/TENT_Pipelines.py:305-408:
+  corruption x severity x {baseline, tent} accuracy matrix.
+- ``swag_pipeline``            <- attacks/cifar10-unvertainty/swag/
+  cifar_swag.py: collection -> weight samples -> BMA eval with uncertainty.
+- ``transform_folder``         <- transformation.py __main__: folder ->
+  8-transform sweep -> save.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from imagetransformations_tpu.evalx.harness import (
+    analyze_uncertainty_thresholds,
+    corrupt,
+    evaluate_batched,
+)
+
+
+def uncertainty_report(
+    model_fn, to_model_space, images_u8, labels, out_dir: str | None = None,
+    metric_names=("shannon_entropy", "msp", "margin", "ratio", "energy",
+                  "doctor_alpha", "doctor_beta", "max_logit", "least_confidence"),
+):
+    """All logit metrics + AUROC + Youden thresholds (+ histogram PNGs)."""
+    res = evaluate_batched(
+        model_fn, to_model_space, images_u8, labels, metric_names=metric_names
+    )
+    table = analyze_uncertainty_thresholds(res["metrics"], res["correct"])
+    if out_dir:
+        from imagetransformations_tpu.evalx.report import plot_uncertainty_histogram
+
+        os.makedirs(out_dir, exist_ok=True)
+        for m, score in res["metrics"].items():
+            plot_uncertainty_histogram(
+                np.asarray(score), np.asarray(res["correct"]) > 0.5,
+                threshold=table[m]["threshold"], title=m,
+                out_path=os.path.join(out_dir, f"{m}.png"),
+            )
+    return {"accuracy": res["accuracy"], "thresholds": table, "metrics": res["metrics"]}
+
+
+def refinement_pipeline(
+    model_fn, to_model_space, images_u8, labels,
+    metric: str = "shannon_entropy", eps: float = 0.03, max_iters: int = 10,
+    msp_stop: float = 0.998,
+):
+    """cifar_iterative_* equivalent: flag by metric threshold -> reverse-FGSM
+    refine flagged inputs -> before/after evaluation."""
+    from imagetransformations_tpu.adapt.refine import refine_batch
+    from imagetransformations_tpu.uq import metrics as um
+    from imagetransformations_tpu.uq.calibration import youden_threshold
+
+    x = to_model_space(images_u8)
+    logits = model_fn(x)
+    correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    score = um.LOGIT_METRICS[metric](logits)
+    if metric in um.CONFIDENCE_METRICS:
+        score = -score
+    thr = youden_threshold(score, 1.0 - correct)
+    flagged = score > thr
+    x_ref, iters = refine_batch(
+        model_fn, x, flagged, eps=eps, max_iters=max_iters, msp_stop=msp_stop
+    )
+    logits_after = model_fn(x_ref)
+    from imagetransformations_tpu.evalx.analysis import flip_analysis
+
+    return {
+        "threshold": float(thr),
+        "n_flagged": int(jnp.sum(flagged)),
+        "refine_iters": int(iters),
+        **flip_analysis(logits, logits_after, labels),
+    }
+
+
+def tent_sweep(
+    model_apply_bn_train, params, corruptions, severities, clean_images_u8,
+    labels, to_model_space, key, lr: float = 2.5e-4, batch_size: int = 256,
+    protocols=("baseline", "continuous", "reset"),
+):
+    """Corruption x severity x protocol accuracy matrix (TENT_Pipelines)."""
+    from imagetransformations_tpu.adapt.tent import evaluate_with_tent, init_tent, merge_params
+
+    results: dict = {}
+    for name in corruptions:
+        results[name] = {}
+        for sev in severities:
+            key, k = jax.random.split(key)
+            imgs = corrupt(clean_images_u8, name, sev, k)
+            xs = to_model_space(imgs)
+            batches = [xs[i : i + batch_size] for i in range(0, xs.shape[0], batch_size)]
+            lbatches = [labels[i : i + batch_size] for i in range(0, xs.shape[0], batch_size)]
+            row = {}
+            for proto in protocols:
+                if proto == "baseline":
+                    correct = total = 0
+                    for xb, yb in zip(batches, lbatches):
+                        pred = jnp.argmax(model_apply_bn_train(params, xb), -1)
+                        correct += int(jnp.sum(pred == yb))
+                        total += int(yb.shape[0])
+                    row[proto] = correct / max(total, 1)
+                else:
+                    row[proto] = evaluate_with_tent(
+                        model_apply_bn_train, params, batches, lbatches,
+                        lr=lr, protocol=proto,
+                    )
+            results[name][sev] = row
+    return results
+
+
+def swag_pipeline(
+    model_apply, model_apply_train, params, batch_stats, train_iter_fn,
+    eval_images, key, num_weight_samples: int = 30, eval_mc_samples: int = 10,
+    max_rank: int = 20, lr: float = 1e-4,
+):
+    """SWAG collection -> sampling -> BMA uncertainty (cifar_swag.py:65-253).
+
+    Returns {probs, entropy, one_minus_max, jsd, variance} over eval_images.
+    """
+    from imagetransformations_tpu.models.training import swag_collect
+    from imagetransformations_tpu.uq import mc as umc
+    from imagetransformations_tpu.uq import swag
+
+    params, batch_stats, state = swag_collect(
+        model_apply_train, params, batch_stats, train_iter_fn(),
+        lr=lr, max_rank=max_rank,
+    )
+    stacked = swag.sample_many(state, key, num_weight_samples)
+    take = jax.tree_util.tree_map(lambda l: l[:eval_mc_samples], stacked)
+    mc_logits = swag.bma_logits(
+        lambda p, x: model_apply({"params": p, "batch_stats": batch_stats}, x),
+        take, eval_images,
+    )  # [S, B, C]
+    probs = jnp.mean(jax.nn.softmax(mc_logits, -1), axis=0)
+    return {
+        "probs": probs,
+        "entropy": umc.predictive_entropy(mc_logits, base2=False),
+        "one_minus_max": 1.0 - jnp.max(probs, -1),
+        "jsd": umc.jensen_shannon(mc_logits),
+        "variance": umc.mc_variance(mc_logits),
+        "swag_state": state,
+    }
+
+
+def transform_folder(
+    in_dir: str, out_dir: str, key=None, size=None
+) -> dict:
+    """transformation.py __main__ equivalent: folder -> 8-type random-grid
+    transform sweep -> jpegs named {name}_{type}_{value}_corrupted."""
+    from imagetransformations_tpu.pipeline.batch import apply_all_transformations
+    from imagetransformations_tpu.pipeline.io import load_folder_images
+
+    from PIL import Image
+
+    key = key if key is not None else jax.random.key(0)
+    imgs, paths = load_folder_images(in_dir, size=size)
+    if len(paths) == 0:
+        return {}
+    res = apply_all_transformations(jnp.asarray(imgs), key)
+    os.makedirs(out_dir, exist_ok=True)
+    written = {}
+    for t, (vals, arrs) in res.items():
+        arrs = np.asarray(arrs)
+        vals = np.asarray(vals)
+        for i, p in enumerate(paths):
+            name = os.path.splitext(os.path.basename(p))[0]
+            fn = f"{name}_{t}_{round(float(vals[i]), 2)}_corrupted.jpeg"
+            Image.fromarray(arrs[i]).save(os.path.join(out_dir, fn))
+            written.setdefault(t, []).append(fn)
+    return written

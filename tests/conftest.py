@@ -2,23 +2,38 @@
 
 Multi-chip sharding tests run on a virtual 8-device CPU mesh (the driver
 separately dry-runs the multi-chip path; real-TPU numbers come from bench.py).
-Must run before jax is imported anywhere.
+
+The axon TPU plugin snapshots the environment at interpreter startup, so
+os.environ mutation here is too late — the process must *start* with the CPU
+config. pytest_configure stops global capture (restoring the real stdout fds)
+and re-execs pytest once with the forced environment.
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-# the axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+_REEXEC_FLAG = "_ITT_CPU_TEST_REEXEC"
+
+
+def pytest_configure(config):
+    if os.environ.get(_REEXEC_FLAG) == "1":
+        return
+    env = dict(os.environ)
+    env[_REEXEC_FLAG] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()  # restore the real stdout/stderr fds
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 
 @pytest.fixture

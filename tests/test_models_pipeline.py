@@ -1,0 +1,246 @@
+"""Models, pipeline chains, sharding, datasets, eval harness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_resnet20_forward_and_features(rng):
+    from imagetransformations_tpu.models import resnet20
+
+    model = resnet20()
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 10)
+    feats = model.apply(variables, x, method=model.features)
+    assert feats.shape == (2, 64)
+    f2, l2 = model.apply(variables, x, method=model.features_and_logits)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(logits), atol=1e-5)
+
+
+def test_resnet_torch_state_dict_import(rng):
+    """Round-trip a synthetic torch-style state dict into flax variables."""
+    from imagetransformations_tpu.models import resnet20
+    from imagetransformations_tpu.models.resnet import load_torch_state_dict
+
+    model = resnet20()
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    ref_vars = model.init(jax.random.key(0), x)
+
+    # build a torch-layout state dict with the same parameter set
+    state = {}
+    def bn_fields(prefix, width):
+        state[f"{prefix}.weight"] = rng.standard_normal((width,)).astype(np.float32)
+        state[f"{prefix}.bias"] = rng.standard_normal((width,)).astype(np.float32)
+        state[f"{prefix}.running_mean"] = rng.standard_normal((width,)).astype(np.float32)
+        # variance must be positive or BN produces NaN
+        state[f"{prefix}.running_var"] = (rng.random(width) + 0.5).astype(np.float32)
+
+    state["conv1.weight"] = rng.standard_normal((16, 3, 3, 3)).astype(np.float32)
+    bn_fields("bn1", 16)
+    widths = {1: 16, 2: 32, 3: 64}
+    for stage in (1, 2, 3):
+        for b in range(3):
+            w = widths[stage]
+            w_in = w if (b > 0 or stage == 1) else widths[stage - 1]
+            pre = f"layer{stage}.{b}"
+            state[f"{pre}.conv1.weight"] = rng.standard_normal((w, w_in, 3, 3)).astype(np.float32)
+            state[f"{pre}.conv2.weight"] = rng.standard_normal((w, w, 3, 3)).astype(np.float32)
+            for bn in ("bn1", "bn2"):
+                bn_fields(f"{pre}.{bn}", w)
+            if stage > 1 and b == 0:
+                state[f"{pre}.downsample.0.weight"] = rng.standard_normal(
+                    (w, w_in, 1, 1)
+                ).astype(np.float32)
+                bn_fields(f"{pre}.downsample.1", w)
+    state["fc.weight"] = rng.standard_normal((10, 64)).astype(np.float32)
+    state["fc.bias"] = rng.standard_normal((10,)).astype(np.float32)
+
+    variables = load_torch_state_dict(state)
+    # structures must match what flax init produced
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(ref_vars["params"])}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(variables["params"])}
+    assert ref_paths == got_paths, ref_paths ^ got_paths
+    logits = model.apply(variables, x)
+    assert logits.shape == (1, 10)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_simple_cnn_and_bayesian(rng):
+    from imagetransformations_tpu.models import BayesianCNN, SimpleCNN
+    from imagetransformations_tpu.models.bayesian import kl_loss, predictive_samples
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    scnn = SimpleCNN()
+    v = scnn.init(jax.random.key(0), x)
+    assert scnn.apply(v, x).shape == (2, 10)
+
+    bcnn = BayesianCNN(prior_sigma=0.5)
+    vb = bcnn.init({"params": jax.random.key(1), "sample": jax.random.key(2)}, x)
+    out, aux = bcnn.apply(vb, x, rngs={"sample": jax.random.key(3)}, mutable=["losses"])
+    assert out.shape == (2, 10)
+    assert float(kl_loss(aux)) > 0
+    samples = predictive_samples(bcnn, vb, x, jax.random.key(4), num_samples=5)
+    assert samples.shape == (5, 2, 10)
+    assert float(jnp.std(samples, axis=0).mean()) > 0  # stochastic forwards
+
+
+def test_chain_strict_parity_matches_sequential_ops(rng):
+    from imagetransformations_tpu import ops
+    from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
+
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    chain = [
+        OpSpec("brightness", {"factor": 0.05}),
+        OpSpec("contrast", {"alpha": 0.8}),
+        OpSpec("blur", {"radius": 1.0}),
+    ]
+    fn = build_chain_fn(chain, strict_parity=True)
+    out = np.asarray(fn(imgs))
+    ref = ops.apply_blur(ops.apply_contrast(ops.apply_brightness(imgs, 0.05), 0.8), 1.0)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_apply_all_transformations_shapes(rng):
+    from imagetransformations_tpu.pipeline.batch import apply_all_transformations
+
+    imgs = jnp.asarray(rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    res = apply_all_transformations(imgs, jax.random.key(0))
+    assert set(res) == {
+        "scale", "rotation", "lighten_darken", "gaussian_noise",
+        "translation", "contrast", "blur", "shear",
+    }
+    for t, (vals, out) in res.items():
+        assert vals.shape == (4,)
+        assert out.shape == imgs.shape, t
+        assert out.dtype == jnp.uint8
+
+
+def test_sharded_apply_8_devices(rng):
+    from imagetransformations_tpu import ops
+    from imagetransformations_tpu.pipeline.sharding import data_mesh, shard_images, sharded_apply
+
+    assert len(jax.devices()) == 8, "conftest should give 8 CPU devices"
+    mesh = data_mesh()
+    imgs = jnp.asarray(rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8))
+    sharded = shard_images(imgs, mesh)
+    fn = sharded_apply(lambda x: ops.apply_brightness(x, 0.05), mesh)
+    out = fn(sharded)
+    ref = ops.apply_brightness(imgs, 0.05)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_io_roundtrip(tmp_path, rng):
+    from imagetransformations_tpu.pipeline.io import (
+        load_cifar10c_npy, load_folder_images, save_batch_images, walk_image_files,
+    )
+
+    imgs = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+    save_batch_images(imgs, ["a.png", "b.png", "c.png"], str(tmp_path), "x")
+    files = walk_image_files(str(tmp_path))
+    assert len(files) == 3
+    loaded, paths = load_folder_images(str(tmp_path))
+    assert loaded.shape == (3, 16, 16, 3)
+
+    # cifar10c npy slicing
+    arr = rng.integers(0, 256, (50, 8, 8, 3), dtype=np.uint8)
+    p = tmp_path / "corr.npy"
+    np.save(p, arr)
+    full = load_cifar10c_npy(str(p))
+    assert full.shape == (50, 8, 8, 3)
+
+
+def test_prefetch_to_device(rng):
+    from imagetransformations_tpu.pipeline.io import batched, prefetch_to_device
+
+    arr = rng.standard_normal((10, 4)).astype(np.float32)
+    out = list(prefetch_to_device(batched(arr, 4)))
+    assert len(out) == 3
+    np.testing.assert_allclose(np.asarray(out[0]), arr[:4])
+
+
+def test_corruption_sweep_and_thresholds(rng):
+    from imagetransformations_tpu.evalx import (
+        analyze_uncertainty_thresholds, corrupt, corruption_sweep, evaluate_batched,
+    )
+    from imagetransformations_tpu.pipeline.datasets import synthetic
+
+    imgs, labels = synthetic(n=64)
+    w = jnp.asarray(rng.standard_normal((3072, 10)).astype(np.float32) * 0.01)
+
+    def model_fn(x):
+        return x.reshape(x.shape[0], -1) @ w
+
+    def to_model(x):
+        return x.astype(jnp.float32) / 255.0
+
+    res = evaluate_batched(model_fn, to_model, jnp.asarray(imgs), jnp.asarray(labels))
+    assert 0.0 <= res["accuracy"] <= 1.0
+    assert set(res["metrics"]) >= {"msp", "energy"}
+
+    sweep = corruption_sweep(
+        model_fn, to_model, jnp.asarray(imgs[:32]), jnp.asarray(labels[:32]),
+        jax.random.key(0), corruption_names=("gaussian_noise", "brightness"),
+        severities=(1, 5),
+    )
+    assert set(sweep) == {"gaussian_noise", "brightness"}
+    assert set(sweep["brightness"]) == {1, 5}
+
+    table = analyze_uncertainty_thresholds(res["metrics"], res["correct"])
+    for m, row in table.items():
+        assert "threshold" in row and "auroc" in row
+
+
+def test_report_plots(tmp_path, rng):
+    from imagetransformations_tpu.evalx.report import plot_uncertainty_histogram, summary_table
+
+    scores = rng.random(100)
+    correct = rng.random(100) > 0.3
+    p = plot_uncertainty_histogram(scores, correct, 0.5, out_path=str(tmp_path / "h.png"))
+    assert (tmp_path / "h.png").exists()
+
+    sweep = {"noise": {1: {"accuracy": 0.9, "auroc": {"msp": 0.8}}}}
+    df = summary_table(sweep)
+    assert df.shape[0] == 1 and "auroc_msp" in df.columns
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = fn(*args)
+    assert out.shape == (8, 10)
+    g.dryrun_multichip(8)
+
+
+def test_imagenet_models_forward(rng):
+    from imagetransformations_tpu.models import ResNet50, VGG19BN
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    m = ResNet50(num_classes=10)
+    v = m.init(jax.random.key(0), x)
+    assert m.apply(v, x).shape == (1, 10)
+    feats = m.apply(v, x, method=m.features)
+    assert feats.shape == (1, 2048)
+
+    m2 = VGG19BN(num_classes=10)
+    x2 = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    v2 = m2.init(jax.random.key(0), x2)
+    assert m2.apply(v2, x2).shape == (1, 10)
+
+
+def test_resnet_mc_dropout_stochastic(rng):
+    from imagetransformations_tpu.models import resnet20
+
+    model = resnet20()
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.key(0), x)
+    l1 = model.apply(v, x, False, True, rngs={"dropout": jax.random.key(1)})
+    l2 = model.apply(v, x, False, True, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))  # stochastic
+    det = model.apply(v, x)
+    det2 = model.apply(v, x)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(det2))
