@@ -34,17 +34,36 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _blur_kernel(
-    x_hbm, o_ref, scratch, sem, *, taps: tuple[float, ...], th: int, wc: int,
-    c: int, p: int, wpc: int,
+    x_hbm, o_ref, scratch, sems, *, taps: tuple[float, ...], th: int, wc: int,
+    c: int, p: int, wpc: int, tiles_per_img: int,
 ):
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(i * th, th + 2 * p), :], scratch, sem
-    )
-    copy.start()
-    copy.wait()
-    xf = scratch[...].astype(jnp.int32).astype(jnp.float32)  # [th+2p, wpc]
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    def make_copy(s, dst_slot):
+        n = s // tiles_per_img
+        i = jax.lax.rem(s, tiles_per_img)
+        return pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(i * th, th + 2 * p), :],
+            scratch.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    # double buffering: step 0 issues its own DMA; every step prefetches the
+    # next tile before computing, hiding the HBM copy latency (a synchronous
+    # wait per 263KB tile costs ~10us x grid size = the old bottleneck)
+    @pl.when(step == 0)
+    def _():
+        make_copy(0, 0).start()
+
+    @pl.when(step + 1 < num_steps)
+    def _():
+        make_copy(step + 1, nxt).start()
+
+    make_copy(step, slot).wait()
+    xf = scratch[slot].astype(jnp.int32).astype(jnp.float32)  # [th+2p, wpc]
     k = len(taps)
     # vertical pass: static sublane slices (only LANE offsets must be
     # 128-aligned; sublane offsets are free) -> [th, wpc]
@@ -76,7 +95,7 @@ def blur_separable(img: jnp.ndarray, radius: float) -> jnp.ndarray:
         return img
     n, h, w, c = img.shape
     wc = w * c
-    th = min(h, 128)
+    th = min(h, 256)  # measured best on v5e (0.91 ms vs 1.26 at 128)
     if wc % 128 != 0 or h % th != 0:
         from imagetransformations_tpu.ops.stencil import gaussian_blur
 
@@ -88,18 +107,23 @@ def blur_separable(img: jnp.ndarray, radius: float) -> jnp.ndarray:
     xp = jnp.pad(img, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
     xp = xp.reshape(n, h + 2 * p, (w + 2 * p) * c)
     xp = jnp.pad(xp, [(0, 0), (0, 0), (0, wpc - (w + 2 * p) * c)])
+    tiles_per_img = h // th
     out = pl.pallas_call(
         functools.partial(
-            _blur_kernel, taps=taps, th=th, wc=wc, c=c, p=p, wpc=wpc
+            _blur_kernel, taps=taps, th=th, wc=wc, c=c, p=p, wpc=wpc,
+            tiles_per_img=tiles_per_img,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
-        grid=(n, h // th),
+        grid=(n * tiles_per_img,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, th, wc), lambda ni, i: (ni, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, th, wc),
+            lambda s: (s // tiles_per_img, s % tiles_per_img, 0),
+            memory_space=pltpu.VMEM,
+        ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * p, wpc), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2 * p, wpc), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(xp)

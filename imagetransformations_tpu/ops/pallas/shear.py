@@ -64,22 +64,27 @@ def _grayscale_lanes(xi: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _shear_kernel(k_ref, f_ref, x_ref, o_ref, *, wc: int, c: int, postop: str | None):
-    h = pl.program_id(0)
-    k = k_ref[h]
-    f = f_ref[h]
-    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [N, WCpad]
-    total = xf.shape[1]
-    # pltpu.roll requires non-negative shift; left-shift by k == roll by total-k
-    a_full = pltpu.roll(xf, total - k, axis=1)
-    b_full = pltpu.roll(a_full, total - c, axis=1)
-    a = a_full[:, :wc]
-    b = b_full[:, :wc]
-    out = a + f * (b - a)
-    out = jnp.clip(jnp.trunc(out), 0.0, 255.0)
-    if postop == "grayscale":
-        out = _grayscale_lanes(out)
-    o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+def _shear_kernel(
+    k_ref, f_ref, x_ref, o_ref, *, wc: int, c: int, postop: str | None, rows: int
+):
+    i = pl.program_id(0)
+    for r in range(rows):  # static unroll: fewer grid steps, same vector work
+        h = i * rows + r
+        k = k_ref[h]
+        f = f_ref[h]
+        xf = x_ref[r].astype(jnp.int32).astype(jnp.float32)  # [N, WCpad]
+        total = xf.shape[1]
+        # rolls commute with elementwise ops, so lerp FIRST with one cheap
+        # static roll (+c neighbor), then apply the row shift with a single
+        # dynamic rotate — dynamic rotates are the dominant cost here.
+        nbr = pltpu.roll(xf, total - c, axis=1)
+        lerped = xf + f * (nbr - xf)
+        # pltpu.roll needs non-negative shift; left-shift k == roll total-k
+        out = pltpu.roll(lerped, total - k, axis=1)[:, :wc]
+        out = jnp.clip(jnp.trunc(out), 0.0, 255.0)
+        if postop == "grayscale":
+            out = _grayscale_lanes(out)
+        o_ref[r] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
 def _shear_pad_params(shifts, wc: int, c: int, pad_px: int | None):
@@ -110,18 +115,21 @@ def _shear_core(
     shifts = jnp.asarray(shifts, jnp.float32)
     k = (jnp.floor(shifts) + pad_px).astype(jnp.int32) * c
     f = (shifts - jnp.floor(shifts)).astype(jnp.float32)
+    rps = 8 if rows % 8 == 0 else 1  # rows per grid step
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(rows,),
+        grid=(rows // rps,),
         in_specs=[
-            pl.BlockSpec((1, n, total), lambda i, k, f: (i, 0, 0),
+            pl.BlockSpec((rps, n, total), lambda i, k, f: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, wc_keep), lambda i, k, f: (i, 0, 0),
+        out_specs=pl.BlockSpec((rps, n, wc_keep), lambda i, k, f: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_shear_kernel, wc=wc_keep, c=c, postop=postop),
+        functools.partial(
+            _shear_kernel, wc=wc_keep, c=c, postop=postop, rows=rps
+        ),
         out_shape=jax.ShapeDtypeStruct((rows, n, wc_keep), jnp.uint8),
         grid_spec=grid_spec,
         interpret=_interpret(),
