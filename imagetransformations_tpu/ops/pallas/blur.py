@@ -36,6 +36,7 @@ def _round_up(x: int, m: int) -> int:
 def _blur_kernel(
     x_hbm, o_ref, scratch, sems, *, taps: tuple[float, ...], th: int, wc: int,
     c: int, p: int, wpc: int, tiles_per_img: int,
+    out_margins: tuple[int, int, int] | None = None,
 ):
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
@@ -76,11 +77,25 @@ def _blur_kernel(
     for t in range(k):
         term = (acc if t == 0 else pltpu.roll(acc, wpc - t * c, axis=1)) * taps[t]
         out = term if out is None else out + term
-    o_ref[0] = (
+    val = (
         jnp.clip(jnp.rint(out[:, :wc]), 0.0, 255.0)
         .astype(jnp.int32)
         .astype(jnp.uint8)
     )
+    if out_margins is None:
+        o_ref[0] = val
+    else:
+        # emit the next stage's fill-padded row-major layout directly
+        # (in-register concat keeps the store block-aligned)
+        left, right, fill = out_margins
+        o_ref[...] = jnp.concatenate(
+            [
+                jnp.full((th, left), fill, jnp.uint8),
+                val,
+                jnp.full((th, right), fill, jnp.uint8),
+            ],
+            axis=1,
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -128,3 +143,53 @@ def blur_separable(img: jnp.ndarray, radius: float) -> jnp.ndarray:
         interpret=_interpret(),
     )(xp)
     return out.reshape(n, h, w, c)
+
+
+def blur_to_sheared_rows(
+    img: jnp.ndarray, radius: float, pc_out: int, total_out: int, fill: int
+) -> jnp.ndarray:
+    """Blur like blur_separable, but emit the shear stage's input layout
+    [H, N, total_out] (rows major, lanes fill-padded) at zero extra cost —
+    the transpose+pad is just a different output BlockSpec."""
+    n, h, w, c = img.shape
+    wc = w * c
+    th = min(h, 256)
+    assert wc % 128 == 0 and h % th == 0, "fused path needs aligned layout"
+    if radius == 0:
+        pad = jnp.full((h, n, total_out), fill, jnp.uint8)
+        return pad.at[:, :, pc_out : pc_out + wc].set(
+            img.transpose(1, 0, 2, 3).reshape(h, n, wc)
+        )
+    ksize = cv2_gaussian_ksize(float(radius))
+    taps = tuple(float(t) for t in gaussian_taps(ksize, float(radius)))
+    p = ksize // 2
+    wpc = _round_up(wc + 2 * p * c + c, 128)
+    xp = jnp.pad(img, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
+    xp = xp.reshape(n, h + 2 * p, (w + 2 * p) * c)
+    xp = jnp.pad(xp, [(0, 0), (0, 0), (0, wpc - (w + 2 * p) * c)])
+    tiles_per_img = h // th
+    assert total_out % 128 == 0
+    # output as [H, N*total] (lane-blocked per image: Mosaic requires the
+    # block's last-two dims to be (8,128)-aligned; total_out is), then view
+    # as [H, N, total]
+    out = pl.pallas_call(
+        functools.partial(
+            _blur_kernel, taps=taps, th=th, wc=wc, c=c, p=p, wpc=wpc,
+            tiles_per_img=tiles_per_img,
+            out_margins=(pc_out, total_out - pc_out - wc, fill),
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, n * total_out), jnp.uint8),
+        grid=(n * tiles_per_img,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (th, total_out),
+            lambda s: (s % tiles_per_img, s // tiles_per_img),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * p, wpc), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(xp)
+    return out.reshape(h, n, total_out)

@@ -65,7 +65,8 @@ def _grayscale_lanes(xi: jnp.ndarray) -> jnp.ndarray:
 
 
 def _shear_kernel(
-    k_ref, f_ref, x_ref, o_ref, *, wc: int, c: int, postop: str | None, rows: int
+    k_ref, f_ref, x_ref, o_ref, *, wc: int, c: int, postop: str | None,
+    rows: int, batch_major_out: bool = False,
 ):
     i = pl.program_id(0)
     for r in range(rows):  # static unroll: fewer grid steps, same vector work
@@ -84,7 +85,11 @@ def _shear_kernel(
         out = jnp.clip(jnp.trunc(out), 0.0, 255.0)
         if postop == "grayscale":
             out = _grayscale_lanes(out)
-        o_ref[r] = out.astype(jnp.int32).astype(jnp.uint8)
+        val = out.astype(jnp.int32).astype(jnp.uint8)
+        if batch_major_out:
+            o_ref[:, r, :] = val  # emits NHWC directly (no final transpose)
+        else:
+            o_ref[r] = val
 
 
 def _shear_pad_params(shifts, wc: int, c: int, pad_px: int | None):
@@ -109,13 +114,26 @@ def _shear_core(
     wc_keep: int,
     c: int,
     postop: str | None,
+    batch_major_out: bool = False,
 ) -> jnp.ndarray:
-    """The pallas call on pre-padded row-major data -> [rows, N, wc_keep]."""
+    """The pallas call on pre-padded row-major data.
+
+    Returns [rows, N, wc_keep], or [N, rows, wc_keep] (batch-major — the
+    NHWC layout, skipping the final transpose) when ``batch_major_out``.
+    """
     rows, n, total = xt.shape
     shifts = jnp.asarray(shifts, jnp.float32)
     k = (jnp.floor(shifts) + pad_px).astype(jnp.int32) * c
     f = (shifts - jnp.floor(shifts)).astype(jnp.float32)
     rps = 8 if rows % 8 == 0 else 1  # rows per grid step
+    if batch_major_out:
+        out_shape = jax.ShapeDtypeStruct((n, rows, wc_keep), jnp.uint8)
+        out_spec = pl.BlockSpec((n, rps, wc_keep), lambda i, k, f: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((rows, n, wc_keep), jnp.uint8)
+        out_spec = pl.BlockSpec((rps, n, wc_keep), lambda i, k, f: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(rows // rps,),
@@ -123,14 +141,14 @@ def _shear_core(
             pl.BlockSpec((rps, n, total), lambda i, k, f: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rps, n, wc_keep), lambda i, k, f: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
     )
     return pl.pallas_call(
         functools.partial(
-            _shear_kernel, wc=wc_keep, c=c, postop=postop, rows=rps
+            _shear_kernel, wc=wc_keep, c=c, postop=postop, rows=rps,
+            batch_major_out=batch_major_out,
         ),
-        out_shape=jax.ShapeDtypeStruct((rows, n, wc_keep), jnp.uint8),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(k, f, xt)
@@ -171,6 +189,52 @@ def _paeth_params(angle_deg: float) -> tuple[float, float]:
 def _row_shifts(size: int, slope: float, center: float) -> np.ndarray:
     y = np.arange(size, dtype=np.float64) + 0.5
     return (slope * (y - center)).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "angle_deg", "fill", "grayscale_out")
+)
+def blur_rotate_fused(
+    img: jnp.ndarray,
+    radius: float,
+    angle_deg: float,
+    fill: int = 0,
+    grayscale_out: bool = False,
+) -> jnp.ndarray:
+    """Fully fused blur -> 3-shear rotation (-> grayscale) pipeline.
+
+    Structural fusion: the blur kernel EMITS shear pass 1's fill-padded
+    row-major layout (a different output BlockSpec — zero extra traffic),
+    and the last shear pass emits NHWC batch-major directly; only the two
+    inter-orientation transposes remain as XLA copies. Bit-identical to
+    blur_separable -> rotate_3shear (-> grayscale) and to the CPU oracle.
+    """
+    from imagetransformations_tpu.ops.pallas.blur import blur_to_sheared_rows
+
+    n, h, w, c = img.shape
+    a, b = _paeth_params(float(angle_deg))
+    sx = _row_shifts(h, a, h / 2.0)
+    sy = _row_shifts(w, b, w / 2.0)
+    px_x, pc_x, keep_x, tot_x = _shear_pad_params(sx, w * c, c, None)
+    px_y, pc_y, keep_y, tot_y = _shear_pad_params(sy, h * c, c, None)
+
+    def pad_lanes(arr, wc, pc, total):
+        return jnp.pad(arr, [(0, 0), (0, 0), (pc, total - wc - pc)],
+                       constant_values=fill)
+
+    x1in = blur_to_sheared_rows(img, float(radius), pc_x, tot_x, fill)
+    y1 = _shear_core(x1in, sx, px_x, keep_x, c, None)  # [H, N, keep_x]
+    y1v = y1[:, :, : w * c].reshape(h, n, w, c)
+    yt = pad_lanes(y1v.transpose(2, 1, 0, 3).reshape(w, n, h * c), h * c, pc_y, tot_y)
+    y2 = _shear_core(yt, sy, px_y, keep_y, c, None)  # [W, N, keep_y]
+    y2v = y2[:, :, : h * c].reshape(w, n, h, c)
+    zt = pad_lanes(y2v.transpose(2, 1, 0, 3).reshape(h, n, w * c), w * c, pc_x, tot_x)
+    # note: batch_major_out would skip the final transpose, but its strided
+    # sublane stores cost ~4x the XLA transpose (measured) — keep row-major
+    y3 = _shear_core(
+        zt, sx, px_x, keep_x, c, "grayscale" if grayscale_out else None
+    )  # [H, N, keep_x]
+    return y3[:, :, : w * c].transpose(1, 0, 2).reshape(n, h, w, c)
 
 
 @functools.partial(jax.jit, static_argnames=("angle_deg", "fill", "grayscale_out"))

@@ -137,6 +137,30 @@ def build_chain_fn(
             spec = chain[i]
             if (
                 not strict_parity
+                and spec.name == "blur"
+                and i + 1 < len(chain)
+                and chain[i + 1].name == "rotation"
+                and isinstance(spec.params["radius"], (int, float))
+                and isinstance(chain[i + 1].params["angle"], (int, float))
+                and abs(float(chain[i + 1].params["angle"])) <= 45.0
+                and x.dtype == jnp.uint8
+                and (x.shape[2] * x.shape[3]) % 128 == 0
+                and x.shape[1] % 256 == 0
+            ):
+                # fully fused blur->rotate(->grayscale): the blur kernel emits
+                # shear pass 1's layout, the last shear emits NHWC
+                from imagetransformations_tpu.ops.pallas.shear import blur_rotate_fused
+
+                fuse_gray = i + 2 < len(chain) and chain[i + 2].name == "grayscale"
+                x = blur_rotate_fused(
+                    x,
+                    float(spec.params["radius"]),
+                    float(chain[i + 1].params["angle"]),
+                    grayscale_out=fuse_gray,
+                )
+                i += 3 if fuse_gray else 2
+            elif (
+                not strict_parity
                 and spec.name == "rotation"
                 and isinstance(spec.params["angle"], (int, float))
                 and abs(float(spec.params["angle"])) <= 45.0

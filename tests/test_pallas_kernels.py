@@ -77,3 +77,19 @@ def test_fast_chain_parity_gate(rng):
     rotated = ofw.rotate_3shear(blurred, 15.0)
     ref = np.stack([oe.grayscale_rgb(im) for im in rotated])
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_blur_rotate_fused_matches_oracle(rng):
+    """The fully fused pipeline kernel == blur oracle -> 3-shear oracle -> luma."""
+    from imagetransformations_tpu.oracle import elementwise as oe
+    from imagetransformations_tpu.ops.pallas.shear import blur_rotate_fused
+
+    img = rng.integers(0, 256, (2, 256, 128, 3), dtype=np.uint8)
+    out = np.asarray(blur_rotate_fused(jnp.asarray(img), 1.5, 15.0, grayscale_out=True))
+    blurred = np.stack([ost.gaussian_blur(im, 1.5) for im in img])
+    ref = np.stack([oe.grayscale_rgb(im) for im in ofw.rotate_3shear(blurred, 15.0)])
+    # <=1 LSB: the blur kernel is f32 vs the f64 oracle (the BASELINE gate)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    # radius 0 skips the blur
+    out2 = np.asarray(blur_rotate_fused(jnp.asarray(img), 0.0, -10.0))
+    np.testing.assert_array_equal(out2, ofw.rotate_3shear(img, -10.0))
