@@ -1,0 +1,15 @@
+#!/usr/bin/env python
+"""transformation.py __main__ equivalent: folder -> 8-transform sweep -> jpegs."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+from imagetransformations_tpu.utils.config import FrameworkConfig
+from imagetransformations_tpu.workflows import transform_folder
+
+if __name__ == "__main__":
+    cfg = FrameworkConfig.from_cli()
+    in_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "./photos"
+    out_dir = in_dir.rstrip("/") + "_transformed"
+    written = transform_folder(in_dir, out_dir, jax.random.key(cfg.seed))
+    total = sum(len(v) for v in written.values())
+    print(f"wrote {total} transformed images to {out_dir}")

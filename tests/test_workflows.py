@@ -233,3 +233,23 @@ def test_profiling_counters(rng):
     x = jnp.asarray(rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8))
     res = op_throughput(lambda a: ops.apply_brightness(a, 0.01), x, k1=2, k2=4)
     assert res["ms_per_op"] > 0 and res["gpix_per_s"] > 0
+
+
+def test_entropy_conditioned_transforms(tiny_model, data):
+    from imagetransformations_tpu.adapt.conditional import (
+        apply_if_entropy, batch_gate_fraction, conditional_transform_eval,
+    )
+    from imagetransformations_tpu.pipeline.chain import OpSpec
+
+    model_fn, to_model = tiny_model
+    imgs, labels = data
+    chain = [OpSpec("sharpness", {"factor": 1.5})]
+    mixed, flagged = apply_if_entropy(imgs, chain, threshold=5.0)
+    assert mixed.shape == imgs.shape
+    # un-flagged images unchanged
+    keep = ~np.asarray(flagged)
+    np.testing.assert_array_equal(np.asarray(mixed)[keep], np.asarray(imgs)[keep])
+    frac = float(batch_gate_fraction(imgs, 5.0))
+    assert 0.0 <= frac <= 1.0
+    res = conditional_transform_eval(model_fn, to_model, imgs, labels, chain, 5.0)
+    assert "accuracy_conditional" in res
