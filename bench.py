@@ -78,7 +78,15 @@ def timed_gpix() -> float:
     lengths.
     """
     rng = np.random.default_rng(1)
-    imgs = jnp.asarray(rng.integers(0, 256, (BATCH, H, W, 3), dtype=np.uint8))
+    n_dev = len(jax.devices())
+    batch = BATCH * n_dev
+    imgs = jnp.asarray(rng.integers(0, 256, (batch, H, W, 3), dtype=np.uint8))
+    if n_dev > 1:
+        # shard the batch over all chips (pure map, zero collectives)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        imgs = jax.device_put(imgs, NamedSharding(mesh, P("data")))
     chain = [
         OpSpec("blur", {"radius": RADIUS}),
         OpSpec("rotation", {"angle": ANGLE}),
@@ -110,7 +118,7 @@ def timed_gpix() -> float:
     k = 32
     wall = walls(scanned(k))
     dt = max((wall - floor) / k, 1e-9)
-    return BATCH * H * W / dt / 1e9
+    return batch * H * W / dt / 1e9 / n_dev  # per-chip throughput
 
 
 def main() -> None:

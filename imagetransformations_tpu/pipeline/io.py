@@ -77,6 +77,25 @@ def load_cifar10c_npy(
     return np.asarray(arr)
 
 
+def export_corruption_samples(root: str, out_dir: str) -> list[str]:
+    """Save one preview PNG per (corruption, severity) from CIFAR-10-C npys.
+
+    transformation.py:19-71 parity: walks for .npy files, slices the fixed
+    severity sample indices, writes ``store/``-style PNGs.
+    """
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for name, path in iter_corruption_files(root):
+        samples = load_cifar10c_npy(path, sample_only=True)
+        for sev, img in enumerate(samples, start=1):
+            fn = os.path.join(out_dir, f"{name}_severity{sev}.png")
+            Image.fromarray(img).save(fn)
+            written.append(fn)
+    return written
+
+
 def iter_corruption_files(root: str) -> Iterator[tuple[str, str]]:
     """Yield (corruption_name, path) for every .npy under root (labels.npy excluded)."""
     for dirpath, _, files in os.walk(root):
