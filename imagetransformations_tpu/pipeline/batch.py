@@ -21,24 +21,56 @@ from imagetransformations_tpu.ops import stencil as st
 from imagetransformations_tpu.ops import warp as wp
 from imagetransformations_tpu.pipeline.chain import Chain, build_chain_fn
 
-def _rotation_by_unique_angle(x, values, key):
-    """Per-image random angles -> grouped unique-angle 3-shear kernel calls.
+import functools
 
-    The rotation grid has 19 values (transformation.py:97); each unique value
-    runs the shared-angle Pallas kernel on its image subset (executables are
-    cached per angle), avoiding the XLA gather warp entirely.
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _value_sweep_rotation(x, values, grid: tuple):
+    """ONE compiled executable: rotate the batch by every grid angle, select
+    each image's row by its drawn value. The per-angle 3-shear kernels are
+    ~0.1-1.6 ms each so sweeping all 19 angles costs a few ms — vs seconds
+    for any recompile, and vs ~0.5 s of per-call RPC round-trips for a host
+    loop on the tunneled runtime.
     """
-    import numpy as np
-
     from imagetransformations_tpu.ops.pallas.shear import rotate_3shear
 
-    vals = np.asarray(values)
+    vd = values.reshape(-1, 1, 1, 1)
     out = jnp.zeros_like(x)
-    for v in np.unique(vals):
-        idx = np.nonzero(vals == v)[0]
-        res = rotate_3shear(x[jnp.asarray(idx)], float(v))
-        out = out.at[jnp.asarray(idx)].set(res)
+    for v in grid:
+        out = jnp.where(vd == v, rotate_3shear(x, v), out)
     return out
+
+
+def _rotation_by_unique_angle(x, values, key):
+    """Per-image random angles via the all-angles jitted sweep."""
+    grid = tuple(float(v) for v in PARAM_GRIDS["rotation"].values())
+    return _value_sweep_rotation(x, jnp.asarray(values, jnp.float32), grid)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _value_sweep_shear_fast(x, values, grid: tuple):
+    """Fast shear: the Pallas per-row shift kernel (bilinear, white fill),
+    cropped to the input canvas — the non-PIL-parity batched path."""
+    import math
+
+    import numpy as np
+
+    from imagetransformations_tpu.ops.pallas.shear import shear_rows
+
+    h = x.shape[1]
+    vd = values.reshape(-1, 1, 1, 1)
+    out = jnp.zeros_like(x)
+    y = np.arange(h, dtype=np.float64) + 0.5
+    for v in grid:
+        shift = int(math.ceil(v * h))
+        shifts = (v * y - shift).astype(np.float32) if v > 0 else (v * y).astype(np.float32)
+        out = jnp.where(vd == v, shear_rows(x, shifts, fill=255), out)
+    return out
+
+
+def _shear_fast(x, values, key):
+    grid = tuple(float(v) for v in PARAM_GRIDS["shear"].values())
+    return _value_sweep_shear_fast(x, jnp.asarray(values, jnp.float32), grid)
 
 
 #: transform type -> batched (images, values[N], key) -> images
@@ -49,10 +81,10 @@ _BATCHED_OPS: dict[str, Callable] = {
     "gaussian_noise": lambda x, v, k: nz.apply_gaussian_noise(x, v, key=k),
     "rotation": _rotation_by_unique_angle,
     "translation": lambda x, v, k: wp.apply_translation(x, v, v),
-    # scale/shear change intermediate canvas size -> value-specialized;
-    # the batched fast path uses the affine zoom equivalent for scale.
+    # scale/shear change intermediate canvas size; the batched fast paths use
+    # the affine zoom (scale) and the Pallas row-shift kernel (shear)
     "scale": lambda x, v, k: wp.random_zoom(x, v),
-    "shear": None,  # handled per-value (output width depends on the value)
+    "shear": _shear_fast,
 }
 
 
@@ -119,19 +151,26 @@ def _apply_per_value(images: jnp.ndarray, t: str, values: jnp.ndarray):
     """
     import numpy as np
 
-    vals = np.asarray(values)
-    h, w = images.shape[1], images.shape[2]
+    grid_name = {"scale": "scale", "shear": "shear", "rotation_pil": "rotation"}[t]
+    grid = tuple(float(v) for v in PARAM_GRIDS[grid_name].values())
+    return _value_sweep_per_value(images, jnp.asarray(values, jnp.float32), t, grid)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "grid"))
+def _value_sweep_per_value(images, values, t: str, grid: tuple):
+    """ONE compiled executable sweeping every grid value (see
+    _value_sweep_rotation for why full-batch + in-graph select wins)."""
+    w = images.shape[2]
+    vd = values.reshape(-1, 1, 1, 1)
     out = jnp.zeros_like(images)
-    for v in np.unique(vals):
-        idx = np.nonzero(vals == v)[0]
-        sub = images[jnp.asarray(idx)]
+    for v in grid:
         if t == "scale":
-            res = wp.apply_scale(sub, float(v))
+            res = wp.apply_scale(images, v)
         elif t == "shear":
-            res = wp.apply_shear(sub, float(v))[:, :, :w]
+            res = wp.apply_shear(images, v)[:, :, :w]
         elif t == "rotation_pil":
-            res = wp.apply_rotation(sub, float(v))
+            res = wp.apply_rotation(images, v)
         else:
             raise ValueError(t)
-        out = out.at[jnp.asarray(idx)].set(res)
+        out = jnp.where(vd == v, res, out)
     return out
