@@ -14,5 +14,5 @@ All kernels fall back to interpreter mode off-TPU so the differential tests
 run on the CPU backend.
 """
 
-from imagetransformations_tpu.ops.pallas.shear import rotate_3shear, shear_rows  # noqa: F401
-from imagetransformations_tpu.ops.pallas.blur import blur_separable  # noqa: F401
+from imagetransformations_tpu.ops.pallas.shear import blur_rotate_fused, rotate_3shear, shear_rows  # noqa: F401
+from imagetransformations_tpu.ops.pallas.blur import blur_separable, blur_to_sheared_rows  # noqa: F401
