@@ -36,13 +36,22 @@ def walk_image_files(root: str, exts: tuple[str, ...] = IMAGE_EXTS) -> list[str]
     return out
 
 
-def load_folder_images(root: str, size: tuple[int, int] | None = None) -> tuple[np.ndarray, list[str]]:
+def load_folder_images(
+    root: str, size: tuple[int, int] | None = None, native: bool = False
+) -> tuple[np.ndarray, list[str]]:
     """Load a folder of images as one NHWC uint8 batch (+ their paths).
 
     Images are optionally resized (PIL bilinear) to a common size; without
-    ``size`` all images must already share a shape.
+    ``size`` all images must already share a shape. ``native=True`` routes
+    through the multithreaded C++ decoder (pipeline.native_io; requires
+    ``size``), falling back to PIL when the native build is unavailable.
     """
     from PIL import Image
+
+    if native and size is not None:
+        from imagetransformations_tpu.pipeline.native_io import load_folder_images_native
+
+        return load_folder_images_native(root, size)
 
     paths = walk_image_files(root)
     arrs = []
