@@ -14,5 +14,11 @@ All kernels fall back to interpreter mode off-TPU so the differential tests
 run on the CPU backend.
 """
 
-from imagetransformations_tpu.ops.pallas.shear import blur_rotate_fused, rotate_3shear, shear_rows  # noqa: F401
+from imagetransformations_tpu.ops.pallas.shear import (  # noqa: F401
+    blur_rotate_fused,
+    rotate_3shear,
+    rotate_3shear_batched,
+    shear_rows,
+    shear_rows_per_image,
+)
 from imagetransformations_tpu.ops.pallas.blur import blur_separable, blur_to_sheared_rows  # noqa: F401

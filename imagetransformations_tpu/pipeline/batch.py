@@ -42,9 +42,12 @@ def _value_sweep_rotation(x, values, grid: tuple):
 
 
 def _rotation_by_unique_angle(x, values, key):
-    """Per-image random angles via the all-angles jitted sweep."""
-    grid = tuple(float(v) for v in PARAM_GRIDS["rotation"].values())
-    return _value_sweep_rotation(x, jnp.asarray(values, jnp.float32), grid)
+    """Per-image random angles via the per-image-angle 3-shear kernel
+    (one executable for any angle vector; the all-angles sweep remains as
+    _value_sweep_rotation for reference)."""
+    from imagetransformations_tpu.ops.pallas.shear import rotate_3shear_batched
+
+    return rotate_3shear_batched(x, jnp.asarray(values, jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))

@@ -177,6 +177,18 @@ def build_chain_fn(
                     x, float(spec.params["angle"]), grayscale_out=fuse_gray
                 )
                 i += 2 if fuse_gray else 1
+            elif (
+                not strict_parity
+                and spec.name == "rotation"
+                and not isinstance(spec.params["angle"], (int, float))
+                and x.dtype == jnp.uint8
+            ):
+                # per-image angle vector: one compiled per-image 3-shear
+                # executable (any angles |a|<=45), replacing the gather warp
+                from imagetransformations_tpu.ops.pallas.shear import rotate_3shear_batched
+
+                x = rotate_3shear_batched(x, spec.params["angle"])
+                i += 1
             elif not strict_parity and spec.name in _AFFINE_OPS:
                 # collect the maximal affine run and fuse into one gather
                 m = _affine_matrix(spec, w, h)

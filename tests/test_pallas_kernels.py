@@ -93,3 +93,27 @@ def test_blur_rotate_fused_matches_oracle(rng):
     # radius 0 skips the blur
     out2 = np.asarray(blur_rotate_fused(jnp.asarray(img), 0.0, -10.0))
     np.testing.assert_array_equal(out2, ofw.rotate_3shear(img, -10.0))
+
+
+def test_rotate_3shear_batched_per_image_angles(rng):
+    """Per-image angle vector == per-angle shared kernel, bit-exact."""
+    from imagetransformations_tpu.ops.pallas.shear import rotate_3shear_batched
+
+    img = rng.integers(0, 256, (4, 48, 40, 3), dtype=np.uint8)
+    angles = np.array([5.0, -15.0, 22.5, 0.0], np.float32)
+    out = np.asarray(rotate_3shear_batched(jnp.asarray(img), jnp.asarray(angles)))
+    for i, a in enumerate(angles):
+        ref = ofw.rotate_3shear(img[i : i + 1], float(a))
+        np.testing.assert_array_equal(out[i : i + 1], ref)
+
+
+def test_chain_routes_traced_angles_to_batched_kernel(rng):
+    from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
+
+    img = rng.integers(0, 256, (4, 48, 40, 3), dtype=np.uint8)
+    angles = jnp.asarray([10.0, -5.0, 0.0, 20.0])
+    fn = build_chain_fn([OpSpec("rotation", {"angle": angles})])
+    out = np.asarray(fn(jnp.asarray(img)))
+    for i, a in enumerate(np.asarray(angles)):
+        ref = ofw.rotate_3shear(img[i : i + 1], float(a))
+        np.testing.assert_array_equal(out[i : i + 1], ref)
