@@ -216,6 +216,31 @@ def test_graft_entry_multichip():
     g.dryrun_multichip(8)
 
 
+def test_graft_entry_multichip_self_provisions():
+    """Driver scenario: a process that sees fewer than n devices must spawn a
+    forced-CPU child mesh rather than crash (round-1 MULTICHIP failure)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("_ITT_MULTICHIP_REEXEC", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(4)" in proc.stdout
+
+
 def test_imagenet_models_forward(rng):
     from imagetransformations_tpu.models import ResNet50, VGG19BN
 
