@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from imagetransformations_tpu.ops import corruptions as cr
 from imagetransformations_tpu.ops import elementwise as ew
 from imagetransformations_tpu.ops import noise as nz
 from imagetransformations_tpu.ops import stencil as st
@@ -30,31 +31,56 @@ from imagetransformations_tpu.ops import warp as wp
 from imagetransformations_tpu.uq import metrics as um
 from imagetransformations_tpu.uq.calibration import auroc, youden_threshold
 
-#: corruption name -> (fn(images_u8, severity_value, key), [5 severity values])
+
+def _elastic(x, v, k):
+    m = min(int(x.shape[-3]), int(x.shape[-2]))
+    return cr.elastic_transform(x, v[0] * m, max(v[1] * m, 0.5), key=k)
+
+
+#: corruption name -> (fn(images_u8, severity_value, key), [5 severity values]);
+#: keys = the canonical CIFAR-10-C list in reference order
+#: (attacks/uncertainty/FINAL_cifar_corrupted.py:22-27) — all 15 GENERATED
+#: on device (generator semantics in oracle/corruptions.py).
 CORRUPTIONS: dict[str, tuple[Callable, list]] = {
     "gaussian_noise": (
         lambda x, v, k: nz.gaussian_noise_01(x, v, key=k),
         [0.08, 0.12, 0.18, 0.26, 0.38],
     ),
-    "impulse_noise": (
-        lambda x, v, k: nz.impulse_noise(x, v, key=k),
-        [0.03, 0.06, 0.09, 0.17, 0.27],
-    ),
     "shot_noise": (
         lambda x, v, k: nz.shot_noise(x, v, key=k),
         [60.0, 25.0, 12.0, 5.0, 3.0],
     ),
+    "impulse_noise": (
+        lambda x, v, k: nz.impulse_noise(x, v, key=k),
+        [0.03, 0.06, 0.09, 0.17, 0.27],
+    ),
     "defocus_blur": (
         lambda x, v, k: st.apply_blur(x, float(v)),
         [1.0, 1.5, 2.0, 2.5, 3.0],
+    ),
+    "glass_blur": (
+        lambda x, v, k: cr.glass_blur(x, *v, key=k),
+        cr.GLASS_BLUR_SEV,
     ),
     "motion_blur": (
         lambda x, v, k: st.motion_blur(x, int(v)),
         [3, 5, 7, 9, 11],
     ),
     "zoom_blur": (
-        lambda x, v, k: wp.random_zoom(x, float(v)),
-        [1.06, 1.12, 1.18, 1.24, 1.31],
+        lambda x, v, k: cr.zoom_blur(x, float(v)),
+        cr.ZOOM_BLUR_SEV,
+    ),
+    "snow": (
+        lambda x, v, k: cr.snow(x, *v, key=k),
+        cr.SNOW_SEV,
+    ),
+    "frost": (
+        lambda x, v, k: cr.frost(x, *v, key=k),
+        cr.FROST_SEV,
+    ),
+    "fog": (
+        lambda x, v, k: cr.fog(x, *v, key=k),
+        cr.FOG_SEV,
     ),
     "brightness": (
         lambda x, v, k: ew.apply_brightness(x, float(v)),
@@ -64,6 +90,22 @@ CORRUPTIONS: dict[str, tuple[Callable, list]] = {
         lambda x, v, k: ew.apply_contrast(x, float(v)),
         [0.75, 0.6, 0.45, 0.3, 0.15],
     ),
+    "elastic_transform": (
+        _elastic,
+        cr.ELASTIC_SEV,
+    ),
+    "pixelate": (
+        lambda x, v, k: cr.pixelate(x, float(v)),
+        cr.PIXELATE_SEV,
+    ),
+    "jpeg_compression": (
+        lambda x, v, k: cr.jpeg_compression(x, int(v)),
+        cr.JPEG_SEV,
+    ),
+}
+
+#: non-canonical extras (reference transformation.py grids), usable by name
+EXTRA_CORRUPTIONS: dict[str, tuple[Callable, list]] = {
     "saturate": (
         lambda x, v, k: ew.enhance_color(x, float(v)),
         [0.6, 0.4, 0.25, 1.8, 2.5],
@@ -76,10 +118,6 @@ CORRUPTIONS: dict[str, tuple[Callable, list]] = {
         lambda x, v, k: wp.apply_translation(x, float(v)),
         [2.0, 4.0, 6.0, 8.0, 10.0],
     ),
-    "pixel_shuffle": (
-        lambda x, v, k: nz.impulse_noise(x, v, key=k),
-        [0.01, 0.02, 0.04, 0.08, 0.16],
-    ),
 }
 
 
@@ -87,7 +125,7 @@ def corrupt(
     images_u8: jnp.ndarray, name: str, severity: int, key: jax.Array
 ) -> jnp.ndarray:
     """Apply corruption ``name`` at severity 1..5 to a uint8 NHWC batch."""
-    fn, sevs = CORRUPTIONS[name]
+    fn, sevs = CORRUPTIONS.get(name) or EXTRA_CORRUPTIONS[name]
     return fn(images_u8, sevs[severity - 1], key)
 
 

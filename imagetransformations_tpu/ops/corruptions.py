@@ -1,0 +1,512 @@
+"""Batched TPU generators for the 15 canonical CIFAR-10-C corruptions.
+
+The reference evaluates the canonical corruption list
+(/root/reference/attacks/uncertainty/FINAL_cifar_corrupted.py:22-27) from
+precomputed npy files; this module GENERATES them on device. Semantics are
+defined by oracle/corruptions.py (differentially tested, <=1 LSB); severity
+constants follow the CIFAR-10-C recipe of Hendrycks & Dietterich (2019).
+
+TPU design notes:
+- everything is batched NHWC over the whole batch in one jitted executable;
+  per-image randomness comes from a single key (explicit draws can be passed
+  for differential testing);
+- smoothing uses separable convs (static taps -> XLA fuses them);
+- jpeg_compression runs the 8x8 DCTs as einsums -> MXU matmuls;
+- the diamond-square fog fractal runs as a log2(S)-step unrolled loop of
+  strided .at[] updates — fully vectorized per level, one executable;
+- severity parameters that change kernel sizes (sigma, radius) are static
+  arguments: one executable per severity, reused across batches.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from imagetransformations_tpu.core.image import as_batch, restore_layout
+from imagetransformations_tpu.core.jitutil import op_jit
+from imagetransformations_tpu.oracle.corruptions import (
+    dct_matrix,
+    gauss_taps_sigma,
+    jpeg_quant_tables,
+    motion_kernel,
+    nearest_resize_map,
+    zoom_factors,
+)
+
+F32 = jnp.float32
+
+#: severity -> parameters (CIFAR-10-C recipe; index with severity-1)
+GLASS_BLUR_SEV = [(0.05, 1, 1), (0.25, 1, 1), (0.4, 1, 1), (0.25, 1, 2), (0.4, 1, 2)]
+FOG_SEV = [(0.2, 3.0), (0.5, 3.0), (0.75, 2.5), (1.0, 2.0), (1.5, 1.75)]
+FROST_SEV = [(1.0, 0.2), (1.0, 0.3), (0.9, 0.4), (0.85, 0.4), (0.75, 0.45)]
+SNOW_SEV = [
+    (0.1, 0.2, 1.0, 0.6, 8, 3.0, 0.95),
+    (0.1, 0.2, 1.0, 0.5, 10, 4.0, 0.9),
+    (0.15, 0.3, 1.75, 0.55, 10, 4.0, 0.9),
+    (0.25, 0.3, 2.25, 0.6, 12, 6.0, 0.85),
+    (0.3, 0.3, 1.25, 0.65, 14, 12.0, 0.8),
+]
+#: (alpha_frac, sigma_frac) of min(H, W)
+ELASTIC_SEV = [(0.05, 0.22), (0.065, 0.2), (0.085, 0.17), (0.1, 0.14), (0.12, 0.11)]
+PIXELATE_SEV = [0.95, 0.9, 0.85, 0.75, 0.65]
+JPEG_SEV = [80, 65, 58, 50, 40]
+ZOOM_BLUR_SEV = [1.06, 1.11, 1.16, 1.21, 1.26]
+
+
+# ------------------------------------------------------------- shared helpers
+
+
+def _sep_gauss(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian over axes (1, 2) of [N,H,W,...] f32, edge padding."""
+    taps = gauss_taps_sigma(sigma)
+    r = len(taps) // 2
+    if r == 0:
+        return x
+    tj = jnp.asarray(taps)
+    for axis in (1, 2):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (r, r)
+        p = jnp.pad(x, pad, mode="edge")
+        acc = jnp.zeros_like(x)
+        for t in range(len(taps)):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(t, t + x.shape[axis])
+            acc = acc + tj[t] * p[tuple(sl)]
+        x = acc
+    return x
+
+
+def _sample_bilinear_clamped(xf: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp.ndarray:
+    """xf: [N,H,W,C] f32; yy/xx: [N,H',W'] sample coords -> [N,H',W',C]."""
+    n, h, w, _ = xf.shape
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    x0 = jnp.floor(xx).astype(jnp.int32)
+    fy = (yy - y0.astype(F32))[..., None]
+    fx = (xx - x0.astype(F32))[..., None]
+    bidx = jnp.arange(n).reshape(n, 1, 1)
+
+    def g(yi, xi):
+        return xf[bidx, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+
+    a, b = g(y0, x0), g(y0, x0 + 1)
+    c, d = g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+    return (a + fx * (b - a)) + fy * ((c + fx * (d - c)) - (a + fx * (b - a)))
+
+
+def _zoom_coords(n: int, h: int, w: int, factor: float):
+    cy, cx = h / 2.0, w / 2.0
+    ys = (cy + (jnp.arange(h, dtype=F32) + F32(0.5) - cy) / F32(factor)) - F32(0.5)
+    xs = (cx + (jnp.arange(w, dtype=F32) + F32(0.5) - cx) / F32(factor)) - F32(0.5)
+    yy = jnp.broadcast_to(ys[None, :, None], (n, h, w))
+    xx = jnp.broadcast_to(xs[None, None, :], (n, h, w))
+    return yy, xx
+
+
+def _u8(x01: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.rint(x01 * F32(255.0)), 0.0, 255.0).astype(jnp.uint8)
+
+
+# ------------------------------------------------------------- zoom blur
+
+
+@op_jit(static=("max_zoom", "step"))
+def zoom_blur(img: jnp.ndarray, max_zoom: float, step: float = 0.01) -> jnp.ndarray:
+    """Multi-scale zoom AVERAGE (mean of identity + center zooms 1..max_zoom).
+
+    Fixes the round-1 single-zoom stand-in; oracle.corruptions.zoom_blur.
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    xf = x.astype(F32)
+    acc = xf
+    zooms = zoom_factors(max_zoom, step)
+    for z in zooms:
+        yy, xx = _zoom_coords(n, h, w, float(z))
+        acc = acc + _sample_bilinear_clamped(xf, yy, xx)
+    out = acc / F32(len(zooms) + 1)
+    out = jnp.clip(jnp.rint(out), 0.0, 255.0).astype(jnp.uint8)
+    return restore_layout(out if img.dtype == jnp.uint8 else out.astype(F32), single)
+
+
+# ------------------------------------------------------------- glass blur
+
+
+@op_jit(static=("sigma", "max_delta", "iterations"))
+def glass_blur(
+    img: jnp.ndarray,
+    sigma: float,
+    max_delta: int,
+    iterations: int,
+    key=None,
+    offsets=None,
+) -> jnp.ndarray:
+    """blur -> iterations of random local pixel displacement -> blur.
+
+    offsets: int [iterations, N, H, W, 2] in [-max_delta, max_delta]
+    (generated from ``key`` when omitted). oracle.corruptions.glass_blur.
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    if offsets is None:
+        offsets = jax.random.randint(
+            key, (iterations, n, h, w, 2), -max_delta, max_delta + 1, dtype=jnp.int32
+        )
+    else:
+        offsets = jnp.asarray(offsets, jnp.int32)
+        if offsets.ndim == 4:
+            offsets = offsets[:, None]
+    xcur = _u8(_sep_gauss(x.astype(F32) / F32(255.0), sigma))
+    yy = jnp.arange(h, dtype=jnp.int32).reshape(1, h, 1)
+    xx = jnp.arange(w, dtype=jnp.int32).reshape(1, 1, w)
+    bidx = jnp.arange(n).reshape(n, 1, 1)
+    for it in range(iterations):
+        yi = jnp.clip(yy + offsets[it, ..., 0], 0, h - 1)
+        xi = jnp.clip(xx + offsets[it, ..., 1], 0, w - 1)
+        xcur = xcur[bidx, yi, xi]
+    out01 = jnp.clip(_sep_gauss(xcur.astype(F32) / F32(255.0), sigma), 0.0, 1.0)
+    return restore_layout(_u8(out01), single)
+
+
+# ------------------------------------------------------------- fog
+
+
+def _plasma_fractal(draws: jnp.ndarray, wibbledecay: float, size: int) -> jnp.ndarray:
+    """Batched diamond-square: draws [N, L, S, S] -> [N, S, S] in [0,1].
+
+    Mirrors oracle.corruptions.plasma_fractal level by level; the unrolled
+    python loop has log2(S) static iterations, each a vectorized strided
+    update — XLA compiles it to one fused executable.
+    """
+    n = draws.shape[0]
+    m = jnp.zeros((n, size, size), F32)
+    stepsize, wibble, lvl = size, 100.0, 0
+    while stepsize >= 2:
+        half = stepsize // 2
+        d = draws[:, lvl].astype(F32)
+        corner = m[:, 0:size:stepsize, 0:size:stepsize]
+        sq = corner + jnp.roll(corner, -1, axis=1)
+        sq = sq + jnp.roll(sq, -1, axis=2)
+        m = m.at[:, half::stepsize, half::stepsize].set(
+            sq / F32(4.0) + F32(wibble) * d[:, half::stepsize, half::stepsize]
+        )
+        dr = m[:, half::stepsize, half::stepsize]
+        ul = m[:, 0:size:stepsize, 0:size:stepsize]
+        ldr = dr + jnp.roll(dr, 1, axis=1)
+        lul = ul + jnp.roll(ul, -1, axis=2)
+        m = m.at[:, 0:size:stepsize, half::stepsize].set(
+            (ldr + lul) / F32(4.0) + F32(wibble) * d[:, 0:size:stepsize, half::stepsize]
+        )
+        tdr = dr + jnp.roll(dr, 1, axis=2)
+        tul = ul + jnp.roll(ul, -1, axis=1)
+        m = m.at[:, half::stepsize, 0:size:stepsize].set(
+            (tdr + tul) / F32(4.0) + F32(wibble) * d[:, half::stepsize, 0:size:stepsize]
+        )
+        stepsize //= 2
+        wibble /= wibbledecay
+        lvl += 1
+    mn = m.min(axis=(1, 2), keepdims=True)
+    m = m - mn
+    mx = jnp.maximum(m.max(axis=(1, 2), keepdims=True), 1e-12)
+    return m / mx
+
+
+def plasma_levels(size: int) -> int:
+    return int(math.log2(size))
+
+
+@op_jit(static=("strength", "wibbledecay"))
+def fog(img: jnp.ndarray, strength: float, wibbledecay: float, key=None, draws=None) -> jnp.ndarray:
+    """x01 += strength*plasma; rescale by max/(max+strength) per image.
+
+    draws: uniform(-1,1) [N, L, S, S] with S = next pow2 >= max(H,W),
+    L = log2(S) (generated from ``key`` when omitted).
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    size = 1 << max(1, math.ceil(math.log2(max(h, w))))
+    if draws is None:
+        draws = jax.random.uniform(
+            key, (n, plasma_levels(size), size, size), F32, -1.0, 1.0
+        )
+    else:
+        draws = jnp.asarray(draws, F32)
+        if draws.ndim == 3:
+            draws = draws[None]
+    x01 = x.astype(F32) / F32(255.0)
+    plasma = _plasma_fractal(draws, wibbledecay, size)[:, :h, :w]
+    max_val = x01.max(axis=(1, 2, 3), keepdims=True)
+    out = x01 + F32(strength) * plasma[..., None]
+    out = jnp.clip(out * max_val / (max_val + F32(strength)), 0.0, 1.0)
+    return restore_layout(_u8(out), single)
+
+
+# ------------------------------------------------------------- frost
+
+
+@op_jit(static=("scale_img", "scale_frost"))
+def frost(
+    img: jnp.ndarray,
+    scale_img: float,
+    scale_frost: float,
+    key=None,
+    u_seed=None,
+    u_amp=None,
+    g_noise=None,
+) -> jnp.ndarray:
+    """Procedural frost overlay: clip(c0*x + c1*frost_texture).
+
+    Texture = sparse crystal seeds blurred into halos + smoothed noise
+    backdrop (oracle.corruptions.frost_texture; photographs in the original
+    recipe are replaced by this procedural texture).
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    if u_seed is None:
+        k1, k2, k3 = jax.random.split(key, 3)
+        u_seed = jax.random.uniform(k1, (n, h, w), F32)
+        u_amp = jax.random.uniform(k2, (n, h, w), F32)
+        g_noise = jax.random.normal(k3, (n, h, w), F32)
+    else:
+        u_seed, u_amp, g_noise = (
+            jnp.asarray(a, F32)[None] if a.ndim == 2 else jnp.asarray(a, F32)
+            for a in (u_seed, u_amp, g_noise)
+        )
+    seeds = jnp.where(u_seed > F32(0.97), F32(0.5) + F32(0.5) * u_amp, F32(0.0))
+    halos = _sep_gauss(seeds[..., None], 1.2)[..., 0] * F32(12.0)
+    backdrop = _sep_gauss(g_noise[..., None], 2.0)[..., 0] * F32(1.5) + F32(0.35)
+    tex = jnp.clip(halos + backdrop, 0.0, 1.0)[..., None]
+    x01 = x.astype(F32) / F32(255.0)
+    out = jnp.clip(F32(scale_img) * x01 + F32(scale_frost) * tex, 0.0, 1.0)
+    return restore_layout(_u8(out), single)
+
+
+# ------------------------------------------------------------- snow
+
+
+@op_jit(static=("loc", "scale", "zoom", "thresh", "mb_radius", "mb_sigma", "blend"))
+def snow(
+    img: jnp.ndarray,
+    loc: float,
+    scale: float,
+    zoom: float,
+    thresh: float,
+    mb_radius: int,
+    mb_sigma: float,
+    blend: float,
+    key=None,
+    g_noise=None,
+    angles_deg=None,
+) -> jnp.ndarray:
+    """Snow field -> zoom -> threshold -> per-image directional motion blur ->
+    graying blend -> add layer + rot180(layer). oracle.corruptions.snow.
+
+    The per-image motion-blur kernels (random angle in U(-135,-45)) run as ONE
+    grouped convolution: images become feature groups, so a whole batch of
+    different kernels is a single XLA conv.
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    if g_noise is None:
+        k1, k2 = jax.random.split(key)
+        g_noise = jax.random.normal(k1, (n, h, w), F32)
+        angles_deg = jax.random.uniform(k2, (n,), F32, -135.0, -45.0)
+    else:
+        g_noise = jnp.asarray(g_noise, F32)
+        if g_noise.ndim == 2:
+            g_noise = g_noise[None]
+        angles_deg = jnp.atleast_1d(jnp.asarray(angles_deg, F32))
+    x01 = x.astype(F32) / F32(255.0)
+    layer = g_noise * F32(scale) + F32(loc)
+    if zoom > 1.0:
+        yy, xx = _zoom_coords(n, h, w, float(zoom))
+        layer = _sample_bilinear_clamped(layer[..., None], yy, xx)[..., 0]
+    layer = jnp.where(layer < F32(thresh), F32(0.0), layer)
+    kern = _motion_kernels_batched(angles_deg, mb_radius, mb_sigma)  # [N,K,K]
+    layer = _grouped_conv2d_same(layer, kern)
+    gray = x01.mean(axis=-1, keepdims=True)
+    x01 = F32(blend) * x01 + (1.0 - F32(blend)) * jnp.maximum(
+        x01, gray * F32(1.5) + F32(0.5)
+    )
+    out = x01 + layer[..., None] + jnp.rot90(layer, 2, axes=(1, 2))[..., None]
+    return restore_layout(_u8(jnp.clip(out, 0.0, 1.0)), single)
+
+
+def _motion_kernels_batched(angles_deg: jnp.ndarray, radius: int, sigma: float) -> jnp.ndarray:
+    """[N] angles -> [N,K,K] line PSFs (oracle.corruptions.motion_kernel)."""
+    k = 2 * radius + 1
+    ys, xs = jnp.mgrid[-radius : radius + 1, -radius : radius + 1]
+    ys, xs = ys.astype(F32)[None], xs.astype(F32)[None]
+    a = jnp.deg2rad(angles_deg).reshape(-1, 1, 1)
+    dx, dy = jnp.cos(a), jnp.sin(a)
+    along = xs * dx + ys * dy
+    across = -xs * dy + ys * dx
+    sig_across = F32(0.5)
+    wgt = jnp.exp(-(across * across) / (2 * sig_across * sig_across)) * jnp.exp(
+        -(along * along) / F32(2.0 * sigma * sigma)
+    )
+    wgt = jnp.where(jnp.abs(along) <= F32(radius), wgt, F32(0.0))
+    return wgt / wgt.sum(axis=(1, 2), keepdims=True)
+
+
+def _grouped_conv2d_same(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Per-image 2D conv: x [N,H,W], kernels [N,K,K], edge padding."""
+    n, h, w = x.shape
+    k = kernels.shape[-1]
+    r = k // 2
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")
+    lhs = xp[None]  # [1, N, H+2r, W+2r]: batch of 1, N feature groups
+    rhs = kernels[:, None]  # [N, 1, K, K]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), "VALID", feature_group_count=n,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]
+
+
+# ------------------------------------------------------------- elastic
+
+
+@op_jit(static=("alpha", "sigma"))
+def elastic_transform(
+    img: jnp.ndarray, alpha: float, sigma: float, key=None, disp=None
+) -> jnp.ndarray:
+    """Bilinear warp by a Gaussian-smoothed random displacement field.
+
+    disp: uniform(-1,1) [N,H,W,2]; alpha/sigma in pixels (see ELASTIC_SEV for
+    the fraction-of-size severity recipe). oracle.corruptions.elastic_transform.
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    if disp is None:
+        disp = jax.random.uniform(key, (n, h, w, 2), F32, -1.0, 1.0)
+    else:
+        disp = jnp.asarray(disp, F32)
+        if disp.ndim == 3:
+            disp = disp[None]
+    sm = _sep_gauss(disp, sigma) * F32(alpha)
+    yy = jnp.arange(h, dtype=F32).reshape(1, h, 1) + sm[..., 0]
+    xx = jnp.arange(w, dtype=F32).reshape(1, 1, w) + sm[..., 1]
+    out = _sample_bilinear_clamped(x.astype(F32), yy, xx)
+    out = jnp.clip(jnp.rint(out), 0.0, 255.0).astype(jnp.uint8)
+    return restore_layout(out if img.dtype == jnp.uint8 else out.astype(F32), single)
+
+
+def elastic_params(h: int, w: int, severity: int) -> tuple[float, float]:
+    """Severity -> (alpha, sigma) in pixels for an HxW image."""
+    af, sf = ELASTIC_SEV[severity - 1]
+    m = min(h, w)
+    return af * m, max(sf * m, 0.5)
+
+
+# ------------------------------------------------------------- pixelate
+
+
+@op_jit(static=("factor",))
+def pixelate(img: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """PIL-bit-exact BOX downscale + NEAREST upscale (oracle.corruptions).
+
+    BOX reuses the int32 fixed-point resize matmuls (ops.warp.pil_resize);
+    NEAREST is a static gather from the incremental-affine index map.
+    """
+    from imagetransformations_tpu.ops.warp import pil_resize
+
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    nw, nh = max(1, int(w * factor)), max(1, int(h * factor))
+    small = pil_resize(x, nw, nh, "box")
+    ys = jnp.asarray(nearest_resize_map(nh, h))
+    xs = jnp.asarray(nearest_resize_map(nw, w))
+    out = small[:, ys][:, :, xs]
+    return restore_layout(out, single)
+
+
+# ------------------------------------------------------------- jpeg
+
+
+@functools.lru_cache(maxsize=None)
+def _dct_mats():
+    d = dct_matrix()
+    return d, d.T
+
+
+def _jpeg_channel_j(ch: jnp.ndarray, q: np.ndarray) -> jnp.ndarray:
+    """ch: [N, H, W] (H,W % 8 == 0) f32 -> DCT/quant/dequant/IDCT round-trip.
+
+    The 8x8 DCTs are einsums over blocked layout -> batched MXU matmuls.
+    """
+    d, dt = _dct_mats()
+    dj, dtj = jnp.asarray(d), jnp.asarray(dt)
+    qj = jnp.asarray(q, F32)
+    n, h, w = ch.shape
+    b = ch.reshape(n, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4) - F32(128.0)
+    # HIGHEST: TPU matmuls default to bf16 passes, which flips quantization
+    # bins; the DCT needs full-f32 MXU accumulation
+    hi = jax.lax.Precision.HIGHEST
+    coef = jnp.einsum("ij,nabjk->nabik", dj, b, precision=hi)
+    coef = jnp.einsum("nabik,lk->nabil", coef, dj, precision=hi)
+    qc = jnp.rint(coef / qj) * qj
+    rec = jnp.einsum("ji,nabjk->nabik", dj, qc, precision=hi)
+    rec = jnp.einsum("nabik,kl->nabil", rec, dj, precision=hi)
+    return rec.transpose(0, 1, 3, 2, 4).reshape(n, h, w) + F32(128.0)
+
+
+def _fancy_upsample_2x_j(c_u8: jnp.ndarray) -> jnp.ndarray:
+    """Batched libjpeg h2v2 fancy upsample: [N,h,w] u8 -> [N,2h,2w] int32."""
+    c = c_u8.astype(jnp.int32)
+    up = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
+    dn = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+    n, h, w = c.shape
+    rows = jnp.stack([3 * c + up, 3 * c + dn], axis=2).reshape(n, 2 * h, w)
+    left = jnp.concatenate([rows[:, :, :1], rows[:, :, :-1]], axis=2)
+    right = jnp.concatenate([rows[:, :, 1:], rows[:, :, -1:]], axis=2)
+    out = jnp.stack(
+        [(3 * rows + left + 8) >> 4, (3 * rows + right + 8) >> 4], axis=3
+    ).reshape(n, 2 * h, 2 * w)
+    edge_l = (rows[:, :, 0] * 4 + 8) >> 4
+    edge_r = (rows[:, :, -1] * 4 + 8) >> 4
+    out = out.at[:, :, 0].set(edge_l).at[:, :, -1].set(edge_r)
+    return out
+
+
+def _pad_to_j(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    h, w = x.shape[1], x.shape[2]
+    ph, pw = (-h) % mult, (-w) % mult
+    return jnp.pad(x, ((0, 0), (0, ph), (0, pw)), mode="edge") if (ph or pw) else x
+
+
+@op_jit(static=("quality",))
+def jpeg_compression(img: jnp.ndarray, quality: int) -> jnp.ndarray:
+    """Real JPEG round-trip on device: YCbCr, 4:2:0, 8x8 DCT with
+    libjpeg-scaled quantization, fancy chroma upsampling, inverse transform.
+
+    oracle.corruptions.jpeg_compression defines the exact semantics.
+    """
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    xf = x.astype(F32)
+    r, g, b = xf[..., 0], xf[..., 1], xf[..., 2]
+    y = F32(0.299) * r + F32(0.587) * g + F32(0.114) * b
+    cb = F32(-0.168736) * r - F32(0.331264) * g + F32(0.5) * b + F32(128.0)
+    cr = F32(0.5) * r - F32(0.418688) * g - F32(0.081312) * b + F32(128.0)
+    ye = _pad_to_j(y, 2)
+    he, we = ye.shape[1], ye.shape[2]
+    cbs = _pad_to_j(cb, 2).reshape(n, he // 2, 2, we // 2, 2).mean(axis=(2, 4))
+    crs = _pad_to_j(cr, 2).reshape(n, he // 2, 2, we // 2, 2).mean(axis=(2, 4))
+    qy, qc = jpeg_quant_tables(quality)
+    yr = jnp.clip(jnp.rint(_jpeg_channel_j(_pad_to_j(y, 8), qy)[:, :h, :w]), 0, 255)
+    cbr = jnp.clip(jnp.rint(_jpeg_channel_j(_pad_to_j(cbs, 8), qc)), 0, 255)
+    crr = jnp.clip(jnp.rint(_jpeg_channel_j(_pad_to_j(crs, 8), qc)), 0, 255)
+    cbu = _fancy_upsample_2x_j(cbr.astype(jnp.uint8))[:, :h, :w].astype(F32)
+    cru = _fancy_upsample_2x_j(crr.astype(jnp.uint8))[:, :h, :w].astype(F32)
+    ro = yr + F32(1.402) * (cru - F32(128.0))
+    go = yr - F32(0.344136) * (cbu - F32(128.0)) - F32(0.714136) * (cru - F32(128.0))
+    bo = yr + F32(1.772) * (cbu - F32(128.0))
+    out = jnp.stack([ro, go, bo], axis=-1)
+    out = jnp.clip(jnp.rint(out), 0.0, 255.0).astype(jnp.uint8)
+    return restore_layout(out, single)

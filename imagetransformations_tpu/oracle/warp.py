@@ -163,7 +163,16 @@ def bilinear_filter(x):
     return np.maximum(1.0 - x, 0.0)
 
 
-_FILTERS = {"lanczos": (lanczos_filter, 3.0), "bilinear": (bilinear_filter, 1.0)}
+def box_filter(x):
+    x = np.asarray(x, np.float64)
+    return np.where((x > -0.5) & (x <= 0.5), 1.0, 0.0)
+
+
+_FILTERS = {
+    "lanczos": (lanczos_filter, 3.0),
+    "bilinear": (bilinear_filter, 1.0),
+    "box": (box_filter, 0.5),
+}
 
 
 def resize_coeffs(in_size: int, out_size: int, method: str = "lanczos"):

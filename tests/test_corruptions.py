@@ -1,0 +1,195 @@
+"""Differential tests: TPU corruption generators vs the NumPy oracle (and PIL
+where a real PIL oracle exists). Gate: <=1 LSB except where documented."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imagetransformations_tpu.oracle import corruptions as oc
+from imagetransformations_tpu.ops import corruptions as cr
+
+
+def _batch(rng, n=3, h=32, w=32):
+    return rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+
+def _max_lsb(a, b):
+    return int(np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int)).max())
+
+
+def test_zoom_blur_matches_oracle(rng):
+    imgs = _batch(rng)
+    for sev in (1, 3, 5):
+        mz = cr.ZOOM_BLUR_SEV[sev - 1]
+        out = np.asarray(cr.zoom_blur(jnp.asarray(imgs), mz))
+        ref = np.stack([oc.zoom_blur(im, mz) for im in imgs])
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_zoom_blur_is_multi_scale_average(rng):
+    """zoom_blur must differ from a single zoom (the round-1 bug)."""
+    from imagetransformations_tpu.ops import warp as wp
+
+    imgs = _batch(rng, n=1)
+    out = np.asarray(cr.zoom_blur(jnp.asarray(imgs), 1.21))
+    single = np.asarray(wp.random_zoom(jnp.asarray(imgs), 1.21))
+    assert not np.array_equal(out, single)
+    # averaging blurs: interior variance must drop vs the original
+    assert out[0, 8:-8, 8:-8].std() < imgs[0, 8:-8, 8:-8].std()
+
+
+@pytest.mark.parametrize("sev", [1, 4])
+def test_glass_blur_matches_oracle(rng, sev):
+    imgs = _batch(rng)
+    sigma, delta, iters = cr.GLASS_BLUR_SEV[sev - 1]
+    offsets = rng.integers(-delta, delta + 1, (iters, 3, 32, 32, 2)).astype(np.int32)
+    out = np.asarray(
+        cr.glass_blur(jnp.asarray(imgs), sigma, delta, iters, offsets=jnp.asarray(offsets))
+    )
+    ref = np.stack(
+        [oc.glass_blur(imgs[i], sigma, delta, iters, offsets[:, i]) for i in range(3)]
+    )
+    assert _max_lsb(out, ref) <= 1
+
+
+def test_fog_matches_oracle(rng):
+    imgs = _batch(rng)
+    strength, decay = cr.FOG_SEV[2]
+    draws = rng.uniform(-1.0, 1.0, (3, 5, 32, 32)).astype(np.float32)
+    out = np.asarray(cr.fog(jnp.asarray(imgs), strength, decay, draws=jnp.asarray(draws)))
+    ref = np.stack([oc.fog(imgs[i], strength, decay, draws[i]) for i in range(3)])
+    assert _max_lsb(out, ref) <= 1
+
+
+def test_fog_odd_size_runs(rng):
+    imgs = rng.integers(0, 256, (2, 37, 53, 3), dtype=np.uint8)
+    out = np.asarray(cr.fog(jnp.asarray(imgs), 0.75, 2.5, key=jax.random.key(0)))
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, imgs)
+
+
+def test_frost_matches_oracle(rng):
+    imgs = _batch(rng)
+    c0, c1 = cr.FROST_SEV[3]
+    us = rng.random((3, 32, 32)).astype(np.float32)
+    ua = rng.random((3, 32, 32)).astype(np.float32)
+    gn = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    out = np.asarray(
+        cr.frost(jnp.asarray(imgs), c0, c1, u_seed=us, u_amp=ua, g_noise=gn)
+    )
+    ref = np.stack([oc.frost(imgs[i], c0, c1, us[i], ua[i], gn[i]) for i in range(3)])
+    assert _max_lsb(out, ref) <= 1
+
+
+@pytest.mark.parametrize("sev", [1, 5])
+def test_snow_matches_oracle(rng, sev):
+    imgs = _batch(rng)
+    params = cr.SNOW_SEV[sev - 1]
+    gn = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    angles = rng.uniform(-135.0, -45.0, 3).astype(np.float32)
+    out = np.asarray(
+        cr.snow(jnp.asarray(imgs), *params, g_noise=gn, angles_deg=angles)
+    )
+    ref = np.stack(
+        [oc.snow(imgs[i], *params, g_noise=gn[i], angle_deg=float(angles[i])) for i in range(3)]
+    )
+    assert _max_lsb(out, ref) <= 1
+
+
+def test_elastic_matches_oracle(rng):
+    imgs = _batch(rng)
+    alpha, sigma = cr.elastic_params(32, 32, 3)
+    disp = rng.uniform(-1.0, 1.0, (3, 32, 32, 2)).astype(np.float32)
+    out = np.asarray(
+        cr.elastic_transform(jnp.asarray(imgs), alpha, sigma, disp=jnp.asarray(disp))
+    )
+    ref = np.stack([oc.elastic_transform(imgs[i], alpha, sigma, disp[i]) for i in range(3)])
+    assert _max_lsb(out, ref) <= 1
+
+
+@pytest.mark.parametrize("hw", [(32, 32), (37, 53)])
+def test_pixelate_pil_exact(rng, hw):
+    from PIL import Image
+
+    h, w = hw
+    imgs = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+    for f in (0.95, 0.65):
+        out = np.asarray(cr.pixelate(jnp.asarray(imgs), f))
+        for i in range(2):
+            im = Image.fromarray(imgs[i])
+            nw, nh = max(1, int(w * f)), max(1, int(h * f))
+            ref = np.asarray(im.resize((nw, nh), Image.BOX).resize((w, h), Image.NEAREST))
+            assert np.array_equal(out[i], ref), f"pixelate f={f} image {i}"
+            assert np.array_equal(np.asarray(oc.pixelate(imgs[i], f)), ref)
+
+
+@pytest.mark.parametrize("quality", [80, 40])
+def test_jpeg_matches_oracle(rng, quality):
+    imgs = _batch(rng)
+    out = np.asarray(cr.jpeg_compression(jnp.asarray(imgs), quality))
+    ref = np.stack([oc.jpeg_compression(im, quality) for im in imgs])
+    d = np.abs(out.astype(int) - ref.astype(int))
+    # f32 einsum vs numpy accumulation order can flip a quantization bin on
+    # measure-zero .5 boundaries; a flipped bin moves one 8x8 block by <= one
+    # quant step. Gate: overwhelmingly exact, bounded worst case.
+    assert (d > 1).mean() <= 0.005, f"jpeg >1LSB fraction {(d > 1).mean()}"
+    assert d.max() <= 32
+
+
+def test_jpeg_semantics_close_to_pil(rng):
+    """Sanity: the generator behaves like real (PIL/libjpeg) JPEG."""
+    import io
+
+    from PIL import Image, ImageFilter
+
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(img).filter(ImageFilter.GaussianBlur(1)))
+    for q in (80, 40):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=q)
+        pil = np.asarray(Image.open(buf))
+        ours = np.asarray(cr.jpeg_compression(jnp.asarray(img[None]), q))[0]
+        d = np.abs(pil.astype(int) - ours.astype(int))
+        assert d.mean() <= 3.0, f"q={q} mean diff {d.mean()}"
+
+
+def test_jpeg_lower_quality_more_loss(rng):
+    img = _batch(rng, n=1)
+    d = []
+    for q in (80, 40):
+        out = np.asarray(cr.jpeg_compression(jnp.asarray(img), q))
+        d.append(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert d[1] > d[0]
+
+
+def test_corruption_suite_is_canonical():
+    """CORRUPTIONS keys == the reference's 15-corruption list, in order
+    (attacks/uncertainty/FINAL_cifar_corrupted.py:22-27)."""
+    from imagetransformations_tpu.evalx.harness import CORRUPTIONS
+
+    canonical = [
+        "gaussian_noise", "shot_noise", "impulse_noise",
+        "defocus_blur", "glass_blur", "motion_blur",
+        "zoom_blur", "snow", "frost", "fog", "brightness",
+        "contrast", "elastic_transform", "pixelate", "jpeg_compression",
+    ]
+    assert list(CORRUPTIONS) == canonical
+
+
+def test_all_corruptions_run_batched(rng):
+    """Every canonical corruption runs at every severity on a batch, changes
+    the image, and preserves shape/dtype."""
+    from imagetransformations_tpu.evalx.harness import corrupt
+
+    imgs = jnp.asarray(_batch(rng, n=2))
+    key = jax.random.key(7)
+    from imagetransformations_tpu.evalx.harness import CORRUPTIONS
+
+    for name in CORRUPTIONS:
+        for sev in (1, 5):
+            key, k = jax.random.split(key)
+            out = corrupt(imgs, name, sev, k)
+            assert out.shape == imgs.shape and out.dtype == jnp.uint8, name
+            assert not np.array_equal(np.asarray(out), np.asarray(imgs)), (name, sev)
