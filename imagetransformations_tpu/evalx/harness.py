@@ -55,8 +55,10 @@ CORRUPTIONS: dict[str, tuple[Callable, list]] = {
         [0.03, 0.06, 0.09, 0.17, 0.27],
     ),
     "defocus_blur": (
-        lambda x, v, k: st.apply_blur(x, float(v)),
-        [1.0, 1.5, 2.0, 2.5, 3.0],
+        # TransformationPool defocus: PIL GaussianBlur, bit-exact
+        # (pipenline/cifar_image_transformations.py:72-76)
+        lambda x, v, k: st.pil_gaussian_blur(x, float(v)),
+        [3.0, 4.0, 6.0, 8.0, 10.0],
     ),
     "glass_blur": (
         lambda x, v, k: cr.glass_blur(x, *v, key=k),

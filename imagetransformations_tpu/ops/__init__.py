@@ -24,6 +24,8 @@ from imagetransformations_tpu.ops.stencil import (  # noqa: F401
     apply_blur,
     gaussian_blur,
     motion_blur,
+    pil_box_blur,
+    pil_gaussian_blur,
     sharpen,
     sobel_edges,
 )

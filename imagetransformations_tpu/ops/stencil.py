@@ -198,3 +198,71 @@ def sobel_edges(img: jnp.ndarray, mode: str = "wrap_u8") -> jnp.ndarray:
     else:
         out = d.astype(F32)
     return out[0] if img.ndim == 2 else out
+
+
+# --------------------------------------------------- PIL GaussianBlur (exact)
+
+
+def _pil_box_pass(xi: jnp.ndarray, float_radius: float, axis: int) -> jnp.ndarray:
+    """One PIL box-blur pass along ``axis`` (1=H, 2=W), bit-exact, int32.
+
+    oracle/stencil._pil_box_pass_h defines the semantics. The sliding inner
+    window is an exclusive-prefix-sum difference; the 24-bit fixed-point
+    weights are split into 12-bit limbs so every product stays < 2^31 (TPUs
+    run with int32; acc <= 255*(2l+1), limb <= 4095).
+    """
+    fr = np.float32(float_radius)
+    l = int(fr)
+    ww = int(np.float32(1 << 24) / (fr * np.float32(2) + np.float32(1)))
+    fw = ((1 << 24) - (2 * l + 1) * ww) // 2
+    ww_hi, ww_lo = ww >> 12, ww & 4095
+    fw_hi, fw_lo = fw >> 12, fw & 4095
+    n = xi.shape[axis]
+    pad = [(0, 0)] * xi.ndim
+    pad[axis] = (l + 1, l + 1)
+    xe = jnp.pad(xi, pad, mode="edge")
+    zshape = list(xe.shape)
+    zshape[axis] = 1
+    q = jnp.concatenate(
+        [jnp.zeros(zshape, jnp.int32), jnp.cumsum(xe, axis=axis, dtype=jnp.int32)],
+        axis=axis,
+    )
+
+    def sl(arr, start, length):
+        s = [slice(None)] * arr.ndim
+        s[axis] = slice(start, start + length)
+        return arr[tuple(s)]
+
+    acc = sl(q, 2 * l + 2, n) - sl(q, 1, n)  # inner 2l+1 taps
+    lr = sl(xe, 0, n) + sl(xe, 2 * l + 2, n)  # two fractional edge taps
+    a_hi = acc * ww_hi + lr * fw_hi + 2048  # +2048 == rounding 2^23 >> 12
+    a_lo = acc * ww_lo + lr * fw_lo
+    return (a_hi + (a_lo >> 12)) >> 12
+
+
+@op_jit(static=("radius", "passes"))
+def pil_box_blur(img: jnp.ndarray, radius: float, passes: int = 1) -> jnp.ndarray:
+    """PIL ImageFilter.BoxBlur, bit-exact: H passes then V passes (int32)."""
+    x, single = as_batch(img)
+    xi = jnp.clip(jnp.trunc(as_float(x)), 0.0, 255.0).astype(jnp.int32)
+    for _ in range(passes):
+        xi = _pil_box_pass(xi, radius, 2)
+    for _ in range(passes):
+        xi = _pil_box_pass(xi, radius, 1)
+    out = xi.astype(jnp.uint8) if img.dtype == jnp.uint8 else xi.astype(F32)
+    return restore_layout(out, single)
+
+
+@op_jit(static=("radius",))
+def pil_gaussian_blur(img: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """PIL ImageFilter.GaussianBlur, bit-exact — the TransformationPool
+    defocus_blur primitive (pipenline/cifar_image_transformations.py:72-76).
+
+    PIL implements Gaussian blur as 3 extended-box passes per axis with a
+    variance-matched fractional box radius (oracle/stencil.pil_gauss_box_radius,
+    computed in f32 like the C code); each pass quantizes to uint8. The TPU
+    kernel reproduces the integer pipeline exactly.
+    """
+    from imagetransformations_tpu.oracle.stencil import pil_gauss_box_radius
+
+    return pil_box_blur(img, pil_gauss_box_radius(radius, 3), 3)

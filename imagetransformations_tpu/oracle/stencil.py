@@ -122,3 +122,70 @@ def background_change_mask(gray: np.ndarray) -> np.ndarray:
     edges = sobel_u8_wrap(gray)
     edge_mask = edges > np.percentile(edges, 70)
     return binary_dilation(edge_mask, iterations=3)
+
+
+# --------------------------------------------------- PIL GaussianBlur (exact)
+
+
+def pil_gauss_box_radius(radius: float, passes: int = 3) -> float:
+    """PIL GaussianBlur's box radius: Gwosdek extended-box variance matching.
+
+    Pillow (BoxBlur.c) converts the Gaussian radius (= sigma) into ONE float
+    box radius l+t per pass such that `passes` box passes reproduce the
+    Gaussian variance exactly: sigma2 = r^2/passes, L = sqrt(12*sigma2 + 1),
+    l = int((L-1)/2), t solves the variance equation for the fractional edge
+    taps. All arithmetic is C float (f32) — f64 here flips 1-LSB pixels
+    (e.g. r=1.0, where the f32-rounded 2^24/(2r+1) weight differs by 1).
+    """
+    r = np.float32(radius)
+    sigma2 = r * r / np.float32(passes)
+    ll = np.sqrt(np.float32(12.0) * sigma2 + np.float32(1.0), dtype=np.float32)
+    l = int((ll - np.float32(1.0)) / np.float32(2.0))
+    t = (
+        np.float32(2 * l + 1)
+        * (sigma2 - np.float32(l * (l + 1)) / np.float32(3.0))
+        / (np.float32(2.0) * (np.float32((l + 1) ** 2) - sigma2))
+    )
+    return float(np.float32(l + t))
+
+
+def _pil_box_pass_h(img_u8: np.ndarray, float_radius: float) -> np.ndarray:
+    """One horizontal PIL box-blur pass (BoxBlur.c LineBoxBlur), bit-exact.
+
+    Window: 2*int(r)+1 inner taps weight ww = trunc(f32(2^24)/(2r+1)), two
+    edge taps (x +- (int(r)+1), clamped) weight fw = (2^24-(2l+1)ww)//2;
+    out = (acc + 2^23) >> 24, quantized to u8 per pass.
+    """
+    fr = np.float32(float_radius)
+    radius = int(fr)
+    ww = int(np.float32(1 << 24) / (fr * np.float32(2) + np.float32(1)))
+    fw = ((1 << 24) - (radius * 2 + 1) * ww) // 2
+    w = img_u8.shape[1]
+    x = np.arange(w)
+    idx = np.clip(x[:, None] + np.arange(-radius, radius + 1)[None, :], 0, w - 1)
+    acc = img_u8[:, idx].astype(np.int64).sum(axis=2)
+    left = img_u8[:, np.clip(x - radius - 1, 0, w - 1)].astype(np.int64)
+    right = img_u8[:, np.clip(x + radius + 1, 0, w - 1)].astype(np.int64)
+    bulk = acc * ww + (left + right) * fw
+    return ((bulk + (1 << 23)) >> 24).astype(np.uint8)
+
+
+def pil_box_blur(img: np.ndarray, float_radius: float, passes: int = 1) -> np.ndarray:
+    """PIL ImageFilter.BoxBlur, bit-exact: `passes` horizontal passes then
+    `passes` vertical passes, each quantizing to uint8."""
+    out = img
+    for _ in range(passes):
+        out = _pil_box_pass_h(out, float_radius)
+    out = np.swapaxes(out, 0, 1)
+    for _ in range(passes):
+        out = _pil_box_pass_h(out, float_radius)
+    return np.swapaxes(out, 0, 1)
+
+
+def pil_gaussian_blur(img: np.ndarray, radius: float) -> np.ndarray:
+    """PIL ImageFilter.GaussianBlur, bit-exact (3 extended-box passes).
+
+    This is the TransformationPool defocus_blur primitive
+    (pipenline/cifar_image_transformations.py:72-76, radii [3,4,6,8,10]).
+    """
+    return pil_box_blur(img, pil_gauss_box_radius(radius, 3), 3)

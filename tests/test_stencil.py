@@ -63,3 +63,57 @@ def test_sobel_exact_vs_scipy(rgb_image):
     out = np.asarray(ops.sobel_edges(jnp.asarray(gray)))
     np.testing.assert_array_equal(out, ref)
     np.testing.assert_array_equal(ost.sobel_u8_wrap(gray), ref)
+
+
+class TestPILGaussianBlur:
+    """PIL GaussianBlur/BoxBlur bit-exactness (the TransformationPool
+    defocus primitive): oracle vs real PIL, TPU op vs real PIL."""
+
+    def test_oracle_box_blur_exact_vs_pil(self, rng):
+        from PIL import Image, ImageFilter
+
+        from imagetransformations_tpu.oracle.stencil import pil_box_blur
+
+        img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        for r in (0.0, 0.5, 1.0, 2.3, 4.75):
+            ref = np.asarray(Image.fromarray(img).filter(ImageFilter.BoxBlur(r)))
+            assert np.array_equal(pil_box_blur(img, r), ref), r
+
+    def test_oracle_gaussian_exact_vs_pil(self, rng):
+        from PIL import Image, ImageFilter
+
+        from imagetransformations_tpu.oracle.stencil import pil_gaussian_blur
+
+        for hw in ((16, 17), (32, 32), (37, 53)):
+            img = rng.integers(0, 256, hw + (3,), dtype=np.uint8)
+            for r in (0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0):
+                ref = np.asarray(
+                    Image.fromarray(img).filter(ImageFilter.GaussianBlur(r))
+                )
+                assert np.array_equal(pil_gaussian_blur(img, r), ref), (hw, r)
+
+    def test_op_gaussian_exact_vs_pil_batched(self, rng):
+        from PIL import Image, ImageFilter
+
+        from imagetransformations_tpu.ops.stencil import pil_gaussian_blur
+
+        imgs = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+        for r in (1.0, 3.0, 6.0, 10.0):
+            out = np.asarray(pil_gaussian_blur(jnp.asarray(imgs), r))
+            for i in range(3):
+                ref = np.asarray(
+                    Image.fromarray(imgs[i]).filter(ImageFilter.GaussianBlur(r))
+                )
+                assert np.array_equal(out[i], ref), (i, r)
+
+    def test_op_box_blur_exact_vs_pil(self, rng):
+        from PIL import Image, ImageFilter
+
+        from imagetransformations_tpu.ops.stencil import pil_box_blur
+
+        imgs = rng.integers(0, 256, (2, 24, 31, 3), dtype=np.uint8)
+        for r in (0.5, 2.3):
+            out = np.asarray(pil_box_blur(jnp.asarray(imgs), r))
+            for i in range(2):
+                ref = np.asarray(Image.fromarray(imgs[i]).filter(ImageFilter.BoxBlur(r)))
+                assert np.array_equal(out[i], ref), (i, r)
