@@ -59,9 +59,93 @@ def apply_transformed_patch(
     return apply_patch(images, tp, "random", kp)
 
 
-def adet_operator(images: jnp.ndarray, patch: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-    """Random-affine placement (rotation + zoom + position) of the patch."""
-    return apply_transformed_patch(images, patch, key)
+def adet_operator(
+    images: jnp.ndarray,
+    patch: jnp.ndarray,
+    key: jax.Array,
+    scale_range: tuple[float, float] = (0.8, 1.2),
+    rotate_deg: float = 15.0,
+    shear_max: float = 0.15,
+    brightness_jitter: float = 0.2,
+    corruption_fns: tuple | None = "default",
+) -> jnp.ndarray:
+    """ADET operator: per-image random corruption + random-affine patch paste.
+
+    Reference (fall_2025/angellic_with_corrupt.py:65-107): for EACH image,
+    sample a corruption from Delta = {gaussian noise 0.05, 3x3 blur}, a random
+    patch scale in [0.8, 1.2], and a random location, then paste the scaled
+    patch. This version runs the whole batch in ONE executable: every image
+    gets its own (scale, rotation, shear, brightness, position) draw via a
+    single batched inverse-map affine warp of a patch+alpha canvas, and the
+    corruption choice is an in-graph select over the pool (no per-image
+    Python loop, no recompiles). rotation/shear/brightness extend the
+    reference's scale+position family (set them to 0 for strict parity).
+
+    images: [N,H,W,C] model-space f32 in [0,1]; patch: [ph,pw,C].
+    """
+    from imagetransformations_tpu.ops.warp import affine_warp
+
+    n, h, w, c = images.shape
+    ph, pw = patch.shape[:2]
+    ks, kr, ksh, kb, ky, kx, kc, kn = jax.random.split(key, 8)
+
+    # per-image corruption choice from Delta (reference :58-62)
+    if corruption_fns == "default":
+        sigma_taps = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
+
+        def blur3(x):
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            xh = sum(sigma_taps[i] * xp[:, 1:-1, i : i + w] for i in range(3))
+            xhp = jnp.pad(xh, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+            return sum(sigma_taps[i] * xhp[:, i : i + h] for i in range(3))
+
+        corruption_fns = (
+            lambda x: jnp.clip(x + 0.05 * jax.random.normal(kn, x.shape), 0.0, 1.0),
+            blur3,
+        )
+    if corruption_fns:
+        idx = jax.random.randint(kc, (n, 1, 1, 1), 0, len(corruption_fns))
+        out = images
+        for i, fn in enumerate(corruption_fns):
+            out = jnp.where(idx == i, fn(images), out)
+        images = out
+
+    # per-image affine draws
+    scale = jax.random.uniform(ks, (n,), minval=scale_range[0], maxval=scale_range[1])
+    angle = jax.random.uniform(kr, (n,), minval=-rotate_deg, maxval=rotate_deg)
+    shear = jax.random.uniform(ksh, (n,), minval=-shear_max, maxval=shear_max)
+    bright = jax.random.uniform(
+        kb, (n,), minval=1.0 - brightness_jitter, maxval=1.0 + brightness_jitter
+    )
+    # random location keeping the (scaled) patch inside the canvas
+    ext = scale * jnp.float32(max(ph, pw)) * (1.0 + jnp.abs(shear))
+    y0 = jax.random.uniform(ky, (n,)) * jnp.maximum(h - ext, 0.0)
+    x0 = jax.random.uniform(kx, (n,)) * jnp.maximum(w - ext, 0.0)
+
+    # inverse map: canvas (x,y) -> patch coords. linear part = (1/s) * K^-1 R^-1
+    rad = jnp.deg2rad(angle)
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    inv_s = 1.0 / scale
+    # R^-1 = [[cos, sin], [-sin, cos]]; K = [[1, sh],[0,1]] -> K^-1 = [[1,-sh],[0,1]]
+    a_ = inv_s * (cos - shear * (-sin))
+    b_ = inv_s * (sin - shear * cos)
+    d_ = inv_s * (-sin)
+    e_ = inv_s * cos
+    # anchor: canvas point (x0 + s*pw/2, y0 + s*ph/2) maps to patch center
+    cxs = x0 + scale * pw / 2.0
+    cys = y0 + scale * ph / 2.0
+    c_ = pw / 2.0 - a_ * cxs - b_ * cys
+    f_ = ph / 2.0 - d_ * cxs - e_ * cys
+    m = jnp.stack([a_, b_, c_, d_, e_, f_], axis=-1)
+
+    pa = jnp.concatenate([patch, jnp.ones((ph, pw, 1), patch.dtype)], axis=-1)
+    canvas = affine_warp(
+        jnp.broadcast_to(pa[None], (n, ph, pw, c + 1)), m,
+        out_size=(h, w), method="bilinear", fill=0.0,
+    )
+    alpha = canvas[..., -1:] >= 0.5
+    pimg = jnp.clip(canvas[..., :c] * bright.reshape(-1, 1, 1, 1), 0.0, 1.0)
+    return jnp.where(alpha, pimg, images)
 
 
 def train_universal_patch(

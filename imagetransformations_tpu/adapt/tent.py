@@ -128,7 +128,12 @@ def evaluate_with_tent(
             xb, raw = xb
         if protocol == "reset":
             state = state0
-        if protocol == "conditional" and raw is not None:
+        if protocol == "conditional":
+            if raw is None:
+                raise ValueError(
+                    "conditional protocol needs (x, raw_u8) batch tuples for "
+                    "the pixel-entropy gate (TENT_Pipelines.py:239-303)"
+                )
             ent = image_entropy(raw)
             frac = float(jnp.mean((ent > image_entropy_threshold).astype(jnp.float32)))
             if frac > 0.5:

@@ -9,6 +9,9 @@ from imagetransformations_tpu.models.bayesian import BayesianCNN  # noqa: F401
 from imagetransformations_tpu.models.imagenet import (  # noqa: F401
     ResNet50,
     VGG19BN,
+    ResNet18,
     load_resnet50_torch_state_dict,
+    load_resnet_torch_state_dict,
+    load_vgg19_bn_torch_state_dict,
     normalize_imagenet,
 )

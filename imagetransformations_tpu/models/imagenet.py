@@ -93,6 +93,81 @@ class ResNet50(nn.Module):
         return self.backbone(x, train)
 
 
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        norm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        self.conv1 = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                             padding=1, use_bias=False, dtype=self.dtype)
+        self.bn1 = norm()
+        self.conv2 = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                             dtype=self.dtype)
+        self.bn2 = norm()
+        if self.downsample:
+            self.downsample_conv = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype)
+            self.downsample_bn = norm()
+
+    def __call__(self, x, train: bool = False):
+        ura = not train
+        y = nn.relu(self.bn1(self.conv1(x), use_running_average=ura))
+        y = self.bn2(self.conv2(y), use_running_average=ura)
+        if self.downsample:
+            x = self.downsample_bn(self.downsample_conv(x), use_running_average=ura)
+        return nn.relu(y + x)
+
+
+class ResNet18(nn.Module):
+    """torchvision resnet18 (the reference's from-scratch adversarial-training
+    model, attacks/fgsm.py:55,222). Same stem/stage layout, NHWC.
+
+    The first stage has no downsample projection (stride 1, equal widths), so
+    weight import reuses load_resnet_torch_state_dict unchanged.
+    """
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+
+    def setup(self):
+        self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                             use_bias=False, dtype=self.dtype)
+        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        blocks = []
+        for stage, n in enumerate(self.stage_sizes):
+            planes = 64 * (2**stage)
+            for b in range(n):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                blocks.append(
+                    BasicBlock(
+                        planes, stride, downsample=(stage > 0 and b == 0),
+                        dtype=self.dtype, name=f"layer{stage + 1}_{b}",
+                    )
+                )
+        self.blocks = blocks
+        self.fc = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def backbone(self, x, train: bool = False):
+        x = nn.relu(self.bn1(self.conv1(x), use_running_average=not train))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for block in self.blocks:
+            x = block(x, train)
+        return jnp.mean(x, axis=(1, 2))  # [N, 512]
+
+    def __call__(self, x, train: bool = False):
+        return self.fc(self.backbone(x, train))
+
+    def features(self, x, train: bool = False):
+        return self.backbone(x, train)
+
+
 _VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
               512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
 
@@ -133,8 +208,62 @@ class VGG19BN(nn.Module):
         return self.fc3(x)
 
 
-def load_resnet50_torch_state_dict(state: dict[str, np.ndarray]):
-    """torchvision resnet50 state_dict (numpy) -> flax variables."""
+def load_vgg19_bn_torch_state_dict(state: dict[str, np.ndarray]):
+    """torchvision vgg19_bn state_dict (numpy) -> flax variables.
+
+    Mirrors load_resnet50_torch_state_dict so the reference's pretrained
+    vgg19_bn runs (attacks/normal_inference/imagenet_normal.py:60).
+    features.N.* entries are classified by weight rank (4D = conv, 1D = BN)
+    and assigned conv{i}/bn{i} in sequential order; classifier.{0,3,6} map to
+    fc1/fc2/fc3.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    # group the features.* entries by sequential index
+    feat: dict[int, dict[str, np.ndarray]] = {}
+    for k, v in state.items():
+        parts = k.split(".")
+        if parts[0] == "features":
+            if parts[2] == "num_batches_tracked":
+                continue
+            feat.setdefault(int(parts[1]), {})[parts[2]] = np.asarray(v)
+        elif parts[0] == "classifier":
+            name = {"0": "fc1", "3": "fc2", "6": "fc3"}[parts[1]]
+            v = np.asarray(v)
+            if parts[2] == "weight":
+                params.setdefault(name, {})["kernel"] = jnp.asarray(v.T)
+            else:
+                params.setdefault(name, {})["bias"] = jnp.asarray(v)
+
+    ci = bi = 0
+    for idx in sorted(feat):
+        entry = feat[idx]
+        if entry["weight"].ndim == 4:  # conv (weights HWIO from OIHW)
+            params[f"conv{ci}"] = {
+                "kernel": jnp.asarray(np.transpose(entry["weight"], (2, 3, 1, 0))),
+                "bias": jnp.asarray(entry["bias"]),
+            }
+            ci += 1
+        else:  # batchnorm
+            params[f"bn{bi}"] = {
+                "scale": jnp.asarray(entry["weight"]),
+                "bias": jnp.asarray(entry["bias"]),
+            }
+            stats[f"bn{bi}"] = {
+                "mean": jnp.asarray(entry["running_mean"]),
+                "var": jnp.asarray(entry["running_var"]),
+            }
+            bi += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def load_resnet_torch_state_dict(state: dict[str, np.ndarray]):
+    """torchvision resnet18/34/50 state_dict (numpy) -> flax variables.
+
+    Works for BasicBlock and Bottleneck layouts — the key grammar
+    (conv{i}/bn{i}/downsample.{0,1}) is identical.
+    """
     params: dict = {}
     stats: dict = {}
 
@@ -182,3 +311,7 @@ def load_resnet50_torch_state_dict(state: dict[str, np.ndarray]):
             else:
                 put(params, ("fc", "bias"), v)
     return {"params": params, "batch_stats": stats}
+
+
+#: backward-compatible alias (the loader is architecture-agnostic)
+load_resnet50_torch_state_dict = load_resnet_torch_state_dict

@@ -31,12 +31,15 @@ from imagetransformations_tpu.ops.stencil import (  # noqa: F401
 )
 from imagetransformations_tpu.ops.warp import (  # noqa: F401
     affine_warp,
+    apply_perspective,
     apply_rotation,
     apply_scale,
     apply_shear,
     apply_translation,
     center_crop,
     flip_vertical,
+    perspective_coeffs,
+    perspective_warp,
     random_zoom,
 )
 from imagetransformations_tpu.ops.histogram import (  # noqa: F401

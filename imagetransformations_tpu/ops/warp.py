@@ -243,6 +243,40 @@ def center_crop(img: jnp.ndarray, crop_h: int, crop_w: int) -> jnp.ndarray:
     return restore_layout(x[:, top : top + crop_h, left : left + crop_w], single)
 
 
+def perspective_coeffs(startpoints, endpoints) -> np.ndarray:
+    """Homography coefficients from 4 (or more) point pairs.
+
+    torchvision-style API (fall_2025/transformations_code:54-67 uses
+    F.perspective(startpoints, endpoints)): returns the [8] inverse-map
+    coefficients for ``perspective_warp`` such that the image quad
+    ``startpoints`` is carried onto ``endpoints``; i.e. the homography maps
+    each endpoint back to its startpoint:
+    sx = (a ex + b ey + c)/(g ex + h ey + 1), sy analogous.
+
+    Solved on host in float64 (exact for 4 pairs, least-squares for more).
+    """
+    sp = np.asarray(startpoints, np.float64).reshape(-1, 2)
+    ep = np.asarray(endpoints, np.float64).reshape(-1, 2)
+    if sp.shape[0] < 4:
+        raise ValueError("need at least 4 point pairs")
+    rows, rhs = [], []
+    for (sx, sy), (ex, ey) in zip(sp, ep):
+        rows.append([ex, ey, 1, 0, 0, 0, -sx * ex, -sx * ey])
+        rhs.append(sx)
+        rows.append([0, 0, 0, ex, ey, 1, -sy * ex, -sy * ey])
+        rhs.append(sy)
+    a = np.asarray(rows)
+    b = np.asarray(rhs)
+    coeffs, *_ = np.linalg.lstsq(a, b, rcond=None)
+    return coeffs.astype(np.float32)
+
+
+def apply_perspective(img: jnp.ndarray, startpoints, endpoints, fill: float = 0.0) -> jnp.ndarray:
+    """Perspective warp defined by corner point pairs (torchvision
+    F.perspective semantics): startpoints quad -> endpoints quad, bilinear."""
+    return perspective_warp(img, jnp.asarray(perspective_coeffs(startpoints, endpoints)), fill=fill)
+
+
 @op_jit(static=("fill",))
 def perspective_warp(img: jnp.ndarray, coeffs, fill: float = 0.0) -> jnp.ndarray:
     """Projective warp: src = (a x + b y + c, d x + e y + f) / (g x + h y + 1).

@@ -91,9 +91,15 @@ def refinement_pipeline(
 def tent_sweep(
     model_apply_bn_train, params, corruptions, severities, clean_images_u8,
     labels, to_model_space, key, lr: float = 2.5e-4, batch_size: int = 256,
-    protocols=("baseline", "continuous", "reset"),
+    protocols=("baseline", "continuous", "reset", "conditional"),
+    image_entropy_threshold: float = 1.16,
 ):
-    """Corruption x severity x protocol accuracy matrix (TENT_Pipelines)."""
+    """Corruption x severity x protocol accuracy matrix (TENT_Pipelines).
+
+    Batches are passed to evaluate_with_tent as (model_space, raw_u8) tuples
+    so the 'conditional' protocol (image-pixel-entropy gate,
+    TENT_Pipelines.py:239-303) is exercised end to end.
+    """
     from imagetransformations_tpu.adapt.tent import evaluate_with_tent, init_tent, merge_params
 
     results: dict = {}
@@ -103,13 +109,16 @@ def tent_sweep(
             key, k = jax.random.split(key)
             imgs = corrupt(clean_images_u8, name, sev, k)
             xs = to_model_space(imgs)
-            batches = [xs[i : i + batch_size] for i in range(0, xs.shape[0], batch_size)]
+            batches = [
+                (xs[i : i + batch_size], imgs[i : i + batch_size])
+                for i in range(0, xs.shape[0], batch_size)
+            ]
             lbatches = [labels[i : i + batch_size] for i in range(0, xs.shape[0], batch_size)]
             row = {}
             for proto in protocols:
                 if proto == "baseline":
                     correct = total = 0
-                    for xb, yb in zip(batches, lbatches):
+                    for (xb, _), yb in zip(batches, lbatches):
                         pred = jnp.argmax(model_apply_bn_train(params, xb), -1)
                         correct += int(jnp.sum(pred == yb))
                         total += int(yb.shape[0])
@@ -118,6 +127,7 @@ def tent_sweep(
                     row[proto] = evaluate_with_tent(
                         model_apply_bn_train, params, batches, lbatches,
                         lr=lr, protocol=proto,
+                        image_entropy_threshold=image_entropy_threshold,
                     )
             results[name][sev] = row
     return results

@@ -257,3 +257,50 @@ def test_evolutionary_search_finds_confident_chain(rng):
     )
     assert best.fitness > 0
     assert len(best.genome) >= 1
+
+
+class TestAdetOperator:
+    """adet_operator (fall_2025/angellic_with_corrupt.py:65-107): per-image
+    corruption + random-affine patch placement in one batched executable."""
+
+    def test_patch_lands_with_per_image_placement(self, rng):
+        from imagetransformations_tpu.adapt.patches import adet_operator
+
+        imgs = jnp.zeros((6, 32, 32, 3), jnp.float32)
+        patch = jnp.ones((8, 8, 3), jnp.float32)
+        out = adet_operator(
+            imgs, patch, jax.random.key(0), corruption_fns=None,
+            brightness_jitter=0.0,
+        )
+        out = np.asarray(out)
+        covered = (out > 0.5).any(axis=-1).reshape(6, -1).sum(axis=1)
+        # every image gets a patch roughly the patch's area (scaled 0.8-1.2)
+        assert (covered >= 0.5 * 64).all() and (covered <= 2.5 * 64).all(), covered
+        # placements differ between images (per-image draws, not batch-shared)
+        masks = (out > 0.5).any(axis=-1)
+        assert any(not np.array_equal(masks[0], masks[i]) for i in range(1, 6))
+
+    def test_corruption_pool_applied_outside_patch(self, rng):
+        from imagetransformations_tpu.adapt.patches import adet_operator
+
+        imgs = jnp.full((8, 32, 32, 3), 0.5, jnp.float32)
+        patch = jnp.zeros((4, 4, 3), jnp.float32)
+        out = np.asarray(adet_operator(imgs, patch, jax.random.key(1)))
+        # default pool = {gaussian noise, blur}: noise-corrupted images must
+        # differ from the constant background outside the patch
+        assert (np.abs(out - 0.5) > 1e-4).any()
+
+    def test_strict_reference_mode_scale_position_only(self, rng):
+        from imagetransformations_tpu.adapt.patches import adet_operator
+
+        imgs = jnp.zeros((4, 32, 32, 3), jnp.float32)
+        patch = jnp.ones((8, 8, 3), jnp.float32)
+        out = np.asarray(adet_operator(
+            imgs, patch, jax.random.key(2), rotate_deg=0.0, shear_max=0.0,
+            brightness_jitter=0.0, corruption_fns=None,
+        ))
+        # un-rotated paste: the covered region is an axis-aligned rectangle
+        m = (out > 0.5).any(axis=-1)
+        for i in range(4):
+            ys, xs = np.where(m[i])
+            assert m[i][ys.min():ys.max() + 1, xs.min():xs.max() + 1].all()

@@ -168,3 +168,165 @@ def test_resnet50_torch_forward_parity(rng):
         ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     out = np.asarray(model.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+def _torch_vgg19_bn(num_classes=1000):
+    """torchvision vgg19_bn replica (matching state-dict key layout)."""
+    import torch.nn as tnn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers, cin = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(cin, v, 3, padding=1), tnn.BatchNorm2d(v), tnn.ReLU()]
+            cin = v
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(*layers)
+            self.classifier = tnn.Sequential(
+                tnn.Linear(512 * 7 * 7, 4096), tnn.ReLU(), tnn.Dropout(),
+                tnn.Linear(4096, 4096), tnn.ReLU(), tnn.Dropout(),
+                tnn.Linear(4096, num_classes),
+            )
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.classifier(x.flatten(1))
+
+    return Net()
+
+
+def test_vgg19_bn_torch_forward_parity(rng):
+    import torch
+
+    from imagetransformations_tpu.models import VGG19BN
+    from imagetransformations_tpu.models.imagenet import load_vgg19_bn_torch_state_dict
+
+    torch.manual_seed(0)
+    tnet = _torch_vgg19_bn().eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    state = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    variables = load_vgg19_bn_torch_state_dict(state)
+    model = VGG19BN()
+
+    x = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-3)
+
+
+def _torch_resnet18(num_classes=1000):
+    """torchvision resnet18 replica (BasicBlock, matching state-dict names)."""
+    import torch.nn as tnn
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, cin, planes, stride, downsample):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.relu = tnn.ReLU()
+            self.downsample = None
+            if downsample:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, planes, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes),
+                )
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idn)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for stage, n in enumerate((2, 2, 2, 2)):
+                planes = 64 * (2**stage)
+                blocks = []
+                for b in range(n):
+                    stride = 2 if (stage > 0 and b == 0) else 1
+                    blocks.append(BasicBlock(cin, planes, stride, stage > 0 and b == 0))
+                    cin = planes
+                setattr(self, f"layer{stage + 1}", tnn.Sequential(*blocks))
+            self.fc = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = x.mean(dim=(2, 3))
+            return self.fc(x)
+
+    return Net()
+
+
+def test_resnet18_torch_forward_parity(rng):
+    import torch
+
+    from imagetransformations_tpu.models import ResNet18, load_resnet_torch_state_dict
+
+    torch.manual_seed(0)
+    tnet = _torch_resnet18().eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    state = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    variables = load_resnet_torch_state_dict(state)
+    model = ResNet18()
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_resnet18_adversarial_train_step(rng):
+    """The reference's adversarial-training demo (attacks/fgsm.py:233-263)
+    now has its exact architecture: one FGSM adversarial train step on
+    ResNet-18 must run and reduce loss on the crafted batch."""
+    import optax
+
+    from imagetransformations_tpu.attacks.fgsm import adversarial_train_step
+    from imagetransformations_tpu.models import ResNet18
+
+    model = ResNet18(num_classes=10)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, 4))
+    variables = model.init(jax.random.key(0), x, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.sgd(0.1, momentum=0.9)
+    opt_state = tx.init(params)
+
+    def apply_fn(variables, xb, train, mutable=False):
+        return model.apply(variables, xb, train=train, mutable=mutable)
+
+    losses = []
+    for _ in range(10):
+        params, stats, opt_state, loss = adversarial_train_step(
+            apply_fn, params, stats, opt_state, tx, x, y, eps=0.03
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert min(losses[5:]) < losses[0], losses

@@ -124,3 +124,44 @@ def test_affine_compose_matches_sequential(rgb_batch):
     a, b = np.asarray(seq_t), np.asarray(fused_t)
     np.testing.assert_allclose(a[:, 10:-10, 10:-10], b[:, 10:-10, 10:-10], atol=1e-3)
     assert fused.shape == seq.shape
+
+
+class TestPerspectivePoints:
+    """perspective_coeffs / apply_perspective (torchvision F.perspective API,
+    fall_2025/transformations_code:54-67)."""
+
+    def test_identity_points_identity_coeffs(self):
+        from imagetransformations_tpu.ops.warp import perspective_coeffs
+
+        pts = [(0, 0), (31, 0), (31, 31), (0, 31)]
+        c = perspective_coeffs(pts, pts)
+        np.testing.assert_allclose(c, [1, 0, 0, 0, 1, 0, 0, 0], atol=1e-6)
+
+    def test_coeffs_map_endpoints_to_startpoints(self, rng):
+        from imagetransformations_tpu.ops.warp import perspective_coeffs
+
+        sp = [(0.0, 0.0), (31.0, 0.0), (31.0, 31.0), (0.0, 31.0)]
+        ep = [(2.0, 1.0), (29.0, 3.0), (30.0, 28.0), (1.0, 30.0)]
+        a, b, c, d, e, f, g, h = perspective_coeffs(sp, ep).astype(np.float64)
+        for (sx, sy), (ex, ey) in zip(sp, ep):
+            den = g * ex + h * ey + 1.0
+            np.testing.assert_allclose((a * ex + b * ey + c) / den, sx, atol=1e-4)
+            np.testing.assert_allclose((d * ex + e * ey + f) / den, sy, atol=1e-4)
+
+    def test_apply_perspective_identity(self, rgb_image):
+        from imagetransformations_tpu.ops.warp import apply_perspective
+
+        h, w = rgb_image.shape[:2]
+        pts = [(0, 0), (w - 1, 0), (w - 1, h - 1), (0, h - 1)]
+        out = np.asarray(apply_perspective(jnp.asarray(rgb_image), pts, pts))
+        # identity homography -> bilinear resample at exact centers == input
+        assert np.array_equal(out, rgb_image)
+
+    def test_apply_perspective_shift_matches_translation(self, rgb_image):
+        from imagetransformations_tpu.ops.warp import apply_perspective
+
+        h, w = rgb_image.shape[:2]
+        sp = [(0, 0), (w - 1, 0), (w - 1, h - 1), (0, h - 1)]
+        ep = [(3, 0), (w + 2, 0), (w + 2, h - 1), (3, h - 1)]  # shift right 3
+        out = np.asarray(apply_perspective(jnp.asarray(rgb_image), sp, ep))
+        assert np.array_equal(out[:, 3:w], rgb_image[:, 0 : w - 3])

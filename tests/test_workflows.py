@@ -105,10 +105,60 @@ def test_tent_sweep_small(rng):
     res = tent_sweep(
         apply_fn, params, ("brightness",), (1,), jnp.asarray(imgs),
         jnp.asarray(labels), lambda u8: u8.astype(jnp.float32) / 255.0,
-        jax.random.key(0), protocols=("baseline", "continuous"),
+        jax.random.key(0), protocols=("baseline", "continuous", "conditional"),
     )
     row = res["brightness"][1]
-    assert set(row) == {"baseline", "continuous"}
+    assert set(row) == {"baseline", "continuous", "conditional"}
+
+
+def test_tent_conditional_gate_skips_low_entropy(rng, monkeypatch):
+    """The image-entropy gate must SKIP adaptation on low-entropy batches and
+    ADAPT on high-entropy ones (TENT_Pipelines.py:239-303)."""
+    from imagetransformations_tpu.adapt import tent as T
+
+    def apply_fn(p, x):
+        f = x.reshape(x.shape[0], -1) * p["bn_scale"]
+        return f @ p["head"]
+
+    w = jnp.asarray(rng.standard_normal((48, 4)).astype(np.float32) * 0.1)
+    params = {"bn_scale": jnp.ones((48,)), "head": w}
+
+    adapt_calls = []
+    real_make = T.make_tent_step
+
+    def counting_make(model_apply, tx):
+        step = real_make(model_apply, tx)
+
+        def wrapped(state, x):
+            adapt_calls.append(x.shape)
+            return step(state, x)
+
+        return wrapped
+
+    monkeypatch.setattr(T, "make_tent_step", counting_make)
+
+    flat = np.full((8, 4, 4, 3), 128, np.uint8)  # zero pixel entropy
+    noisy = rng.integers(0, 256, (8, 4, 4, 3), dtype=np.uint8)  # high entropy
+    labels = jnp.asarray(rng.integers(0, 4, 8))
+
+    def run(raw):
+        x = jnp.asarray(raw, jnp.float32).reshape(8, -1) / 255.0
+        return T.evaluate_with_tent(
+            apply_fn, params, [(x, jnp.asarray(raw))], [labels],
+            lr=0.1, protocol="conditional",
+        )
+
+    run(flat)
+    assert len(adapt_calls) == 0, "gate must skip adaptation on flat images"
+    run(noisy)
+    assert len(adapt_calls) == 1, "gate must adapt on high-entropy images"
+
+    import pytest
+
+    with pytest.raises(ValueError):  # tuples are required for the gate
+        T.evaluate_with_tent(
+            apply_fn, params, [jnp.zeros((8, 48))], [labels], protocol="conditional"
+        )
 
 
 def test_matta_vatta(rng):
