@@ -9,6 +9,9 @@ schedules poorly:
 - ``shear``: per-row fractional shift (dynamic lane slice + lerp) — the
   building block of the 3-shear (Paeth) rotation that replaces XLA's
   pathological gather-based warp (~500ms -> ~1ms per 32x512x512 batch).
+- ``megakernel``: the whole blur -> rotate -> grayscale chain VMEM-resident
+  per image (one HBM read + one write; in-VMEM f32 transposes between shear
+  orientations) — the round-2 headline path, ~2x the round-1 fused chain.
 
 All kernels fall back to interpreter mode off-TPU so the differential tests
 run on the CPU backend.
@@ -22,3 +25,4 @@ from imagetransformations_tpu.ops.pallas.shear import (  # noqa: F401
     shear_rows_per_image,
 )
 from imagetransformations_tpu.ops.pallas.blur import blur_separable, blur_to_sheared_rows  # noqa: F401
+from imagetransformations_tpu.ops.pallas.megakernel import fused_blur_rotate_image  # noqa: F401

@@ -1,0 +1,299 @@
+"""Whole-pipeline-per-image mega-kernel: blur -> 3-shear rotate -> grayscale.
+
+Round-1 profiling showed the fused pipeline was dominated not by compute but
+by the XLA u8 transposes between shear orientations (~0.43 ms each at
+~140 GB/s, 3 per batch) and by HBM round-trips between stages. This kernel
+keeps ONE image resident in VMEM for the entire chain:
+
+  u8 load -> f32 -> vertical blur taps (sublane slices)
+           -> horizontal blur taps (grouped lane rolls) -> rint quantize
+           -> shear X (per-run static lane rolls + f32 lerp) -> trunc quantize
+           -> in-VMEM f32 transpose
+           -> shear Y (as X on the transposed slab)        -> trunc quantize
+           -> transpose back
+           -> shear X                                       -> trunc quantize
+           -> optional PIL-exact grayscale -> u8 store
+
+HBM traffic is exactly one u8 read + one u8 write per image; orientation
+changes are Mosaic-internal f32 relayouts. Integer shear shifts are static
+per compiled (angle, shape), so rows sharing floor(shift) are processed as
+one sublane slice with a single static roll; the fractional lerp uses a
+per-row f32 vector computed host-side in f64 (bit-identical to the CPU
+oracle oracle/fast_warp.py). The kernel is written dataflow-style (values +
+one concatenate per stage, no scratch read-modify-write) — per-segment
+in-place ref updates measured ~5x slower due to store/load serialization.
+
+Semantics (differential-tested):
+- blur: cv2.GaussianBlur (oracle/stencil.gaussian_blur), rint quantization
+- rotation: oracle/fast_warp.rotate_3shear (u8-trunc between passes)
+- grayscale: PIL convert('L') L24 fixed point, replicated to 3 channels
+
+Mosaic constraints honored: all kept-region lane offsets are 128-aligned
+(margins rounded up to 128 lanes); uint8<->f32 casts bridge via int32;
+pltpu.roll shifts are non-negative; no fan-out roll chains on full slabs
+(grouped 8-row slices instead — full-slab roll fan-out crashes the TPU
+compiler backend).
+
+Reference behavior being rebuilt: pipenline/cifar_image_transformations.py
+(blur), transformation.py:198 (rotate), transformation.py:254 (grayscale).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imagetransformations_tpu.oracle.stencil import cv2_gaussian_ksize, gaussian_taps
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _row_shifts(size: int, slope: float, center: float) -> np.ndarray:
+    # identical to oracle/fast_warp._row_shifts: f64 math, f32 result
+    y = np.arange(size, dtype=np.float64) + 0.5
+    return (slope * (y - center)).astype(np.float32)
+
+
+def _paeth_params(angle_deg: float) -> tuple[float, float]:
+    t = math.radians(-angle_deg)  # apply_rotation sign convention
+    return -math.tan(t / 2.0), math.sin(t)
+
+
+def _runs(k: np.ndarray) -> list[tuple[int, int, int]]:
+    """Maximal (start, end, k) row segments of equal integer shift."""
+    out: list[tuple[int, int, int]] = []
+    i, n = 0, len(k)
+    while i < n:
+        j = i + 1
+        while j < n and k[j] == k[i]:
+            j += 1
+        out.append((i, j, int(k[i])))
+        i = j
+    return out
+
+
+def _roll_left(x: jnp.ndarray, m: int, axis: int = 1) -> jnp.ndarray:
+    """out[i] = x[i + m] (cyclic); pltpu.roll wants a non-negative shift."""
+    size = x.shape[axis]
+    s = (size - m) % size
+    return x if s == 0 else pltpu.roll(x, s, axis=axis)
+
+
+def _grayscale_rows(xi: jnp.ndarray, cv: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """PIL L24 luma on interleaved-RGB lanes (all intermediates < 2^24,
+    exact in f32). Same math as shear._grayscale_lanes, but the per-lane
+    weight vector ``cv`` ([1, lanes]: 19595/38470/7471 by lane%3) and 0/1
+    channel masks ``m`` ([3, lanes]) arrive as kernel inputs — recomputing
+    them from iota costs ~0.2 ms/batch of integer VPU work."""
+    lanes = xi.shape[-1]
+    p = xi * cv
+    sum3 = p + pltpu.roll(p, 1, axis=1) + pltpu.roll(p, lanes - 1, axis=1)
+    luma = jnp.floor((sum3 + 32768.0) * (1.0 / 65536.0))
+    return (
+        luma * m[1:2]
+        + pltpu.roll(luma, lanes - 1, axis=1) * m[0:1]
+        + pltpu.roll(luma, 1, axis=1) * m[2:3]
+    )
+
+
+def _quant_trunc(x: jnp.ndarray) -> jnp.ndarray:
+    # lerp output (1-f)*a + f*b of values in [0, 255] stays in [0, 255]
+    # (worst-case f32 rounding gives -0.0 / 255.00002, both truncating to
+    # the oracle's clipped value), so the oracle's clip is a no-op here —
+    # skipping it saves a full VPU slab pass per shear.
+    return jnp.trunc(x)
+
+
+def _shear_pass(v, runs, f_col, lane_unit):
+    """One X-style shear on a margin-padded slab value.
+
+    v: [rows, ls] f32, fill margins in place. out[r, l] =
+    lerp(v[r, l + k_r*lane_unit], v[r, l + (k_r+1)*lane_unit], f_r),
+    truncation-quantized. Integer shifts are static per row segment.
+    """
+    nbr = _roll_left(v, lane_unit)
+    ler = v + f_col * (nbr - v)
+    parts = [_roll_left(ler[r0:r1], k * lane_unit) for r0, r1, k in runs]
+    return _quant_trunc(jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
+
+
+def _mega_kernel(
+    x_ref,
+    f1_ref,  # [h, 128] f32 lerp fracs, pass 1/3 (lane column 0)
+    f2_ref,  # [wc, 128] f32 lerp fracs, pass 2
+    g_ref,  # [4, wc] f32: row 0 = L24 lane weights, rows 1-3 = channel masks
+    o_ref,
+    *,
+    h: int,
+    wc: int,
+    c: int,
+    ls1: int,
+    ls2: int,
+    mx: int,  # 128-aligned left margin, normal slabs (lanes)
+    my: int,  # 128-aligned left margin, transposed slab (lanes)
+    taps: tuple[float, ...],
+    runs1: tuple[tuple[int, int, int], ...],
+    runs2: tuple[tuple[int, int, int], ...],
+    fill: int,
+    grayscale_out: bool,
+    identity_rot: bool,
+):
+    fillf = float(fill)
+    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h + 2p, lin]
+
+    # ---- blur (or plain cast when radius == 0) ----------------------------
+    p = (len(taps) - 1) // 2
+    if p:
+        # Gaussian taps are symmetric: pair mirrored slices with one add
+        # before the multiply (k taps -> (k+1)/2 multiplies). Every full-slab
+        # VPU op costs ~0.9 us/image, so the pass count is the benchmark.
+        def tap_sum(slice_at):
+            acc = taps[p] * slice_at(p)
+            for t in range(p):
+                acc = acc + taps[t] * (slice_at(t) + slice_at(2 * p - t))
+            return acc
+
+        accv = tap_sum(lambda t: xf[t : t + h, :])
+        # horizontal taps on the transpose: lane offsets t*c become sublane
+        # slice offsets (unrestricted, cheap) instead of lane rolls (~0.5 ms
+        # per batch for a 9-tap kernel); transposes cost ~0.08 ms each
+        acct = jnp.swapaxes(accv, 0, 1)  # [lin, h]
+        acch = tap_sum(lambda t: acct[t * c : t * c + wc, :])
+        # positive taps summing to 1: a convex combination of [0,255] values
+        # needs no clip after rint
+        content = jnp.rint(jnp.swapaxes(acch, 0, 1))
+    else:
+        content = xf[:, :wc]
+
+    def with_margins(mid, left, total):
+        rows = mid.shape[0]
+        return jnp.concatenate(
+            [
+                jnp.full((rows, left), fillf),
+                mid,
+                jnp.full((rows, total - left - mid.shape[1]), fillf),
+            ],
+            axis=1,
+        )
+
+    if identity_rot:
+        # angle == 0: every shear is the identity (k=0, f=0) — skip the
+        # three passes; blur(+grayscale) alone beats blur_separable by ~30%
+        out = content
+        if grayscale_out:
+            out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:4, :])
+        o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+        return
+
+    f1c = f1_ref[:, :1]
+    f2c = f2_ref[:, :1]
+
+    # ---- pass 1: shear X ---------------------------------------------------
+    s1 = _shear_pass(with_margins(content, mx, ls1), runs1, f1c, c)
+
+    # ---- pass 2: shear Y on the in-VMEM transpose --------------------------
+    t1 = jnp.swapaxes(s1[:, mx : mx + wc], 0, 1)  # [wc, h]
+    s2 = _shear_pass(with_margins(t1, my, ls2), runs2, f2c, 1)
+
+    # ---- pass 3: shear X, fused grayscale, u8 store -------------------------
+    t2 = jnp.swapaxes(s2[:, my : my + h], 0, 1)  # [h, wc]
+    s3 = _shear_pass(with_margins(t2, mx, ls1), runs1, f1c, c)
+    out = s3[:, mx : mx + wc]
+    if grayscale_out:
+        out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:4, :])
+    o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "angle_deg", "fill", "grayscale_out")
+)
+def fused_blur_rotate_image(
+    img: jnp.ndarray,
+    radius: float,
+    angle_deg: float,
+    fill: int = 0,
+    grayscale_out: bool = False,
+) -> jnp.ndarray:
+    """Fused blur -> 3-shear rotation (-> grayscale), one image per grid step,
+    whole chain VMEM-resident. NHWC uint8 -> NHWC uint8.
+
+    Bit-identical to gaussian_blur -> oracle rotate_3shear (-> grayscale).
+    Works for any H, W (pads internally); |angle_deg| <= 45.
+    """
+    n, h, w, c = img.shape
+    wc = w * c
+    a, b = _paeth_params(float(angle_deg))
+    sx = _row_shifts(h, a, h / 2.0)
+    sy = _row_shifts(w, b, w / 2.0)
+    k1 = np.floor(sx).astype(np.int64)
+    f1 = (sx - np.floor(sx)).astype(np.float32)
+    k2px = np.floor(sy).astype(np.int64)
+    f2 = np.repeat((sy - np.floor(sy)).astype(np.float32), c)
+    runs1 = tuple(_runs(k1))
+    runs2 = tuple(_runs(np.repeat(k2px, c)))
+
+    px = max(int(np.ceil(np.abs(sx).max())) + 1, 1)  # pass-1/3 margin, px
+    py = max(int(np.ceil(np.abs(sy).max())) + 1, 1)  # pass-2 margin, px
+    mx = _round_up(px * c, 128)
+    my = _round_up(py, 128)
+    ls1 = _round_up(mx + wc + px * c + c, 128)
+    ls2 = _round_up(my + h + py + 1, 128)
+
+    if radius > 0:
+        ksize = cv2_gaussian_ksize(float(radius))
+        taps = tuple(float(t) for t in gaussian_taps(ksize, float(radius)))
+        p = ksize // 2
+        xp = jnp.pad(img, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
+        xp = xp.reshape(n, h + 2 * p, (w + 2 * p) * c)
+    else:
+        taps, p = (1.0,), 0
+        xp = img.reshape(n, h, wc)
+    lin = _round_up(xp.shape[2] + 2 * p * c + c, 128)
+    xp = jnp.pad(xp, [(0, 0), (0, 0), (0, lin - xp.shape[2])])
+
+    f1b = jnp.broadcast_to(jnp.asarray(f1)[:, None], (h, 128))
+    f2b = jnp.broadcast_to(jnp.asarray(f2)[:, None], (wc, 128))
+    lane_mod = np.arange(wc) % 3
+    gv = np.zeros((4, wc), np.float32)
+    gv[0] = np.choose(lane_mod, [19595.0, 38470.0, 7471.0])
+    for ch in range(3):
+        gv[1 + ch] = (lane_mod == ch).astype(np.float32)
+    gvb = jnp.asarray(gv)
+    out = pl.pallas_call(
+        functools.partial(
+            _mega_kernel,
+            h=h, wc=wc, c=c, ls1=ls1, ls2=ls2, mx=mx, my=my,
+            taps=taps, runs1=runs1, runs2=runs2,
+            fill=fill, grayscale_out=grayscale_out,
+            identity_rot=(float(angle_deg) == 0.0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * p, lin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        # the dataflow body keeps ~4 f32 slabs live; v5e has 128 MiB of
+        # physical VMEM — raise the default 16 MiB scoped cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, f1b, f2b, gvb)
+    return out.reshape(n, h, w, c)

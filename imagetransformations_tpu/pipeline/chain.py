@@ -107,6 +107,39 @@ def _apply_simple(x: jnp.ndarray, spec: OpSpec, key) -> jnp.ndarray:
     raise ValueError(f"unknown op {spec.name!r}")
 
 
+def _static(v) -> bool:
+    return isinstance(v, (int, float))
+
+
+def _match_mega(chain, i, strict_parity, x):
+    """Match a blur / rotation / blur->rotation prefix (each optionally
+    followed by grayscale) for the VMEM-resident mega-kernel.
+
+    Returns (radius, angle, grayscale_out, ops_consumed) or None.
+    """
+    if strict_parity or x.ndim != 4 or x.dtype != jnp.uint8:
+        return None
+    radius, angle = 0.0, 0.0
+    j = i
+    if chain[j].name == "blur" and _static(chain[j].params["radius"]):
+        radius = float(chain[j].params["radius"])
+        j += 1
+    if (
+        j < len(chain)
+        and chain[j].name == "rotation"
+        and _static(chain[j].params["angle"])
+        and abs(float(chain[j].params["angle"])) <= 45.0
+    ):
+        angle = float(chain[j].params["angle"])
+        j += 1
+    if j == i:
+        return None
+    gray = j < len(chain) and chain[j].name == "grayscale" and x.shape[3] == 3
+    if gray:
+        j += 1
+    return radius, angle, gray, j - i
+
+
 def build_chain_fn(
     chain: Chain,
     *,
@@ -135,48 +168,20 @@ def build_chain_fn(
         i = 0
         while i < len(chain):
             spec = chain[i]
-            if (
-                not strict_parity
-                and spec.name == "blur"
-                and i + 1 < len(chain)
-                and chain[i + 1].name == "rotation"
-                and isinstance(spec.params["radius"], (int, float))
-                and isinstance(chain[i + 1].params["angle"], (int, float))
-                and abs(float(chain[i + 1].params["angle"])) <= 45.0
-                and x.dtype == jnp.uint8
-                and (x.shape[2] * x.shape[3]) % 128 == 0
-                and x.shape[1] % 256 == 0
-            ):
-                # fully fused blur->rotate(->grayscale): the blur kernel emits
-                # shear pass 1's layout, the last shear emits NHWC
-                from imagetransformations_tpu.ops.pallas.shear import blur_rotate_fused
-
-                fuse_gray = i + 2 < len(chain) and chain[i + 2].name == "grayscale"
-                x = blur_rotate_fused(
-                    x,
-                    float(spec.params["radius"]),
-                    float(chain[i + 1].params["angle"]),
-                    grayscale_out=fuse_gray,
+            mega = _match_mega(chain, i, strict_parity, x)
+            if mega is not None:
+                # whole-pipeline-per-image mega-kernel (pallas/megakernel.py):
+                # blur -> 3-shear rotate -> grayscale fully VMEM-resident, one
+                # HBM read + one write; any H/W (pads internally)
+                from imagetransformations_tpu.ops.pallas.megakernel import (
+                    fused_blur_rotate_image,
                 )
-                i += 3 if fuse_gray else 2
-            elif (
-                not strict_parity
-                and spec.name == "rotation"
-                and isinstance(spec.params["angle"], (int, float))
-                and abs(float(spec.params["angle"])) <= 45.0
-                and x.dtype == jnp.uint8
-            ):
-                # 3-shear Paeth rotation Pallas kernel (ops/pallas/shear.py):
-                # ~380x faster than the XLA gather warp on v5e. A following
-                # grayscale op fuses into the kernel's last pass (XLA's
-                # strided per-channel luma costs ~6 ms/batch on NHWC lanes).
-                from imagetransformations_tpu.ops.pallas.shear import rotate_3shear
 
-                fuse_gray = i + 1 < len(chain) and chain[i + 1].name == "grayscale"
-                x = rotate_3shear(
-                    x, float(spec.params["angle"]), grayscale_out=fuse_gray
+                radius, angle, fuse_gray, consumed = mega
+                x = fused_blur_rotate_image(
+                    x, radius, angle, grayscale_out=fuse_gray
                 )
-                i += 2 if fuse_gray else 1
+                i += consumed
             elif (
                 not strict_parity
                 and spec.name == "rotation"

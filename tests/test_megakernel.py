@@ -1,0 +1,83 @@
+"""Differential tests for the whole-pipeline mega-kernel
+(ops/pallas/megakernel.py) vs the CPU oracles.
+
+The kernel runs in interpret mode on the CPU backend; results must match
+gaussian_blur -> rotate_3shear -> grayscale bit-for-bit, except for the
+known XLA-CPU FMA contraction on blur's 0.5-rint boundaries (<=1 LSB at a
+vanishing fraction of pixels; the TPU VPU rounds separately and matches
+exactly — see CLAUDE.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from imagetransformations_tpu.oracle import elementwise as oe
+from imagetransformations_tpu.oracle import fast_warp as ofw
+from imagetransformations_tpu.oracle import stencil as ost
+from imagetransformations_tpu.ops.pallas.megakernel import fused_blur_rotate_image
+from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
+
+
+def _oracle(imgs, radius, angle, gray):
+    out = (
+        np.stack([ost.gaussian_blur(im, radius) for im in imgs])
+        if radius
+        else imgs
+    )
+    if angle:
+        out = ofw.rotate_3shear(out, angle)
+    if gray:
+        out = np.stack([oe.grayscale_rgb(im) for im in out])
+    return out
+
+
+@pytest.mark.parametrize(
+    "shape,radius,angle,gray",
+    [
+        ((2, 64, 48), 1.5, 15.0, True),
+        ((2, 64, 48), 1.5, 15.0, False),
+        ((1, 96, 64), 0.0, -22.5, True),
+        ((2, 224, 224), 2.5, 7.0, True),   # ImageNet shape: no alignment gate
+        ((3, 32, 32), 1.0, 22.5, False),   # CIFAR shape (wc < 128 lanes)
+        ((1, 64, 64), 1.0, 0.0, True),     # identity-rotation short-circuit
+    ],
+)
+def test_megakernel_matches_oracle(rng, shape, radius, angle, gray):
+    n, h, w = shape
+    imgs = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    out = np.asarray(
+        fused_blur_rotate_image(
+            jnp.asarray(imgs), radius, angle, grayscale_out=gray
+        )
+    )
+    ref = _oracle(imgs, radius, angle, gray)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1
+    assert (err > 0).mean() <= 0.001  # FMA-contraction flips only
+
+
+def test_chain_routes_blur_rotation_gray_to_megakernel(rng):
+    """build_chain_fn's fast path must stay bit-compatible with the oracle
+    chain for the benchmark pipeline on arbitrary (non-aligned) shapes."""
+    imgs = rng.integers(0, 256, (2, 72, 56, 3), dtype=np.uint8)
+    chain = [
+        OpSpec("blur", {"radius": 1.5}),
+        OpSpec("rotation", {"angle": 15.0}),
+        OpSpec("grayscale"),
+    ]
+    out = np.asarray(build_chain_fn(chain)(jnp.asarray(imgs)))
+    ref = _oracle(imgs, 1.5, 15.0, True)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1
+    assert (err > 0).mean() <= 0.001
+
+
+def test_chain_rotation_only_megakernel(rng):
+    imgs = rng.integers(0, 256, (2, 40, 40, 3), dtype=np.uint8)
+    out = np.asarray(
+        build_chain_fn([OpSpec("rotation", {"angle": -10.0})])(jnp.asarray(imgs))
+    )
+    ref = ofw.rotate_3shear(imgs, -10.0)
+    assert np.array_equal(out, ref)
