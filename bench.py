@@ -122,9 +122,46 @@ def timed_gpix() -> float:
     return batch * H * W / dt / 1e9 / n_dev  # per-chip throughput
 
 
+def timed_gpix_224() -> float:
+    """Same fused chain at the ImageNet shape (128x224x224x3) — the
+    megakernel has no alignment gates, so 224 batches fuse too."""
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 256, (128, 224, 224, 3), dtype=np.uint8))
+    chain = [
+        OpSpec("blur", {"radius": RADIUS}),
+        OpSpec("rotation", {"angle": ANGLE}),
+        OpSpec("grayscale"),
+    ]
+    fn = build_chain_fn(chain, jit=False)
+
+    def walls(g, reps: int = 5) -> float:
+        float(g(imgs))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(imgs))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def scanned(k: int):
+        return jax.jit(
+            lambda a: jnp.sum(
+                jax.lax.scan(lambda c, _: (fn(c), None), a, None, length=k)[0].astype(
+                    jnp.float32
+                )
+            )
+        )
+
+    floor = walls(jax.jit(lambda a: jnp.sum(a[:1, :8, :8].astype(jnp.float32))))
+    k = 24
+    dt = max((walls(scanned(k)) - floor) / k, 1e-9)
+    return 128 * 224 * 224 / dt / 1e9
+
+
 def main() -> None:
     max_err = parity_check()
     gpix = timed_gpix()
+    gpix224 = timed_gpix_224()
     result = {
         "metric": "fused blur+rotate+grayscale Gpixels/s/chip (512x512 RGB)",
         "value": round(gpix, 3),
@@ -133,6 +170,7 @@ def main() -> None:
         "parity_max_lsb_err": max_err,
         "parity_ok": bool(max_err <= 1),
         "batch": BATCH,
+        "gpix_224_imagenet": round(gpix224, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

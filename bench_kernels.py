@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Per-kernel on-device parity gates (VERDICT round-1, weak #7).
+
+Runs every Pallas kernel individually on the REAL TPU against its CPU
+oracle and prints ONE JSON line per kernel:
+
+  {"kernel": ..., "max_lsb_err": N, "flip_frac": F, "ok": true}
+
+Gates: max |err| <= 1 LSB for oracle-defined kernels; flip fraction
+<= 0.5% for the PIL-NEAREST kernel (f32 device coords vs PIL's f64 flip
+floor() on measure-zero boundary pixels — same budget as tests/test_warp.py).
+
+bench.py stays the single-JSON-line headline benchmark; this file is the
+kernel-level differential gate (run by .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from imagetransformations_tpu.oracle import elementwise as oe
+from imagetransformations_tpu.oracle import fast_warp as ofw
+from imagetransformations_tpu.oracle import stencil as ost
+
+H, W, N = 256, 128, 2
+ANGLE, RADIUS = 15.0, 1.5
+
+
+def gate(name, out, ref, max_lsb=1, max_flip=1.0):
+    out = np.asarray(out).astype(int)
+    ref = np.asarray(ref).astype(int)
+    err = int(np.abs(out - ref).max())
+    flip = float((out != ref).mean())
+    ok = err <= max_lsb and flip <= max_flip
+    print(json.dumps({
+        "kernel": name, "max_lsb_err": err,
+        "flip_frac": round(flip, 6), "ok": bool(ok),
+    }), flush=True)
+    return ok
+
+
+def main() -> None:
+    from imagetransformations_tpu.ops.pallas.blur import blur_separable
+    from imagetransformations_tpu.ops.pallas.megakernel import fused_blur_rotate_image
+    from imagetransformations_tpu.ops.pallas.rotate_gather import pil_rotate_nearest_batched
+    from imagetransformations_tpu.ops.pallas.shear import (
+        blur_rotate_fused,
+        rotate_3shear,
+        rotate_3shear_batched,
+        shear_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (N, H, W, 3), dtype=np.uint8)
+    x = jnp.asarray(imgs)
+    ok = True
+
+    blur_ref = np.stack([ost.gaussian_blur(im, RADIUS) for im in imgs])
+    ok &= gate("blur_separable", blur_separable(x, RADIUS), blur_ref)
+
+    shifts = (0.3 * (np.arange(H) - H / 2)).astype(np.float32)
+    ok &= gate("shear_rows", shear_rows(x, jnp.asarray(shifts)),
+               ofw.shear_rows(imgs, shifts), max_lsb=0)
+
+    rot_ref = ofw.rotate_3shear(imgs, ANGLE)
+    ok &= gate("rotate_3shear", rotate_3shear(x, ANGLE), rot_ref, max_lsb=0)
+
+    angles = np.asarray([-12.0, 22.5], np.float32)
+    batched_ref = np.concatenate(
+        [ofw.rotate_3shear(imgs[i : i + 1], float(a)) for i, a in enumerate(angles)]
+    )
+    ok &= gate("rotate_3shear_batched",
+               rotate_3shear_batched(x, jnp.asarray(angles)), batched_ref,
+               max_lsb=0)
+
+    chain_ref = np.stack([oe.grayscale_rgb(im) for im in rot_ref])
+    chain_in = np.stack([oe.grayscale_rgb(im) for im in ofw.rotate_3shear(blur_ref, ANGLE)])
+    ok &= gate("blur_rotate_fused",
+               blur_rotate_fused(x, RADIUS, ANGLE, grayscale_out=True), chain_in)
+    ok &= gate("megakernel",
+               fused_blur_rotate_image(x, RADIUS, ANGLE, grayscale_out=True),
+               chain_in)
+
+    from PIL import Image
+    pil_ref = np.stack([
+        np.asarray(Image.fromarray(imgs[i]).rotate(-float(a), fillcolor=(0, 0, 0)))
+        for i, a in enumerate(angles)
+    ])
+    ok &= gate("pil_rotate_nearest_batched",
+               pil_rotate_nearest_batched(x, jnp.asarray(angles)), pil_ref,
+               max_lsb=255, max_flip=0.005)
+
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,3 +26,4 @@ from imagetransformations_tpu.ops.pallas.shear import (  # noqa: F401
 )
 from imagetransformations_tpu.ops.pallas.blur import blur_separable, blur_to_sheared_rows  # noqa: F401
 from imagetransformations_tpu.ops.pallas.megakernel import fused_blur_rotate_image  # noqa: F401
+from imagetransformations_tpu.ops.pallas.rotate_gather import pil_rotate_nearest_batched  # noqa: F401

@@ -156,6 +156,17 @@ def _apply_per_value(images: jnp.ndarray, t: str, values: jnp.ndarray):
 
     grid_name = {"scale": "scale", "shear": "shear", "rotation_pil": "rotation"}[t]
     grid = tuple(float(v) for v in PARAM_GRIDS[grid_name].values())
+    if t == "rotation_pil" and max(abs(v) for v in grid) <= 45.0:
+        # per-image traced angles run directly (PIL-NEAREST roll/select
+        # kernel) — the grid sweep burned len(grid) full-batch rotations
+        from imagetransformations_tpu.ops.pallas.rotate_gather import (
+            pil_rotate_nearest_batched,
+        )
+
+        ma = max(abs(v) for v in grid) + 0.5
+        return pil_rotate_nearest_batched(
+            images, jnp.asarray(values, jnp.float32), max_angle_deg=ma
+        )
     return _value_sweep_per_value(images, jnp.asarray(values, jnp.float32), t, grid)
 
 
