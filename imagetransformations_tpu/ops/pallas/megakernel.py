@@ -152,31 +152,53 @@ def _mega_kernel(
     identity_rot: bool,
 ):
     fillf = float(fill)
-    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h + 2p, lin]
+    w = wc // c
+    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
 
     # ---- blur (or plain cast when radius == 0) ----------------------------
     p = (len(taps) - 1) // 2
     if p:
+        # reflect-101 padding is built IN KERNEL from sublane slices (the
+        # XLA jnp.pad(reflect) + reshape pre-pass cost 0.42 ms/batch of HBM
+        # round-trips — a third of the whole chain). Vertical reflection is
+        # a sublane concat here; horizontal reflection becomes a sublane
+        # concat of per-pixel c-row strips after the transpose.
+        xpadv = jnp.concatenate(
+            [xf[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xf]
+            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            axis=0,
+        )  # [h + 2p, wc]
+
         # Gaussian taps are symmetric: pair mirrored slices with one add
         # before the multiply (k taps -> (k+1)/2 multiplies). Every full-slab
         # VPU op costs ~0.9 us/image, so the pass count is the benchmark.
-        def tap_sum(slice_at):
-            acc = taps[p] * slice_at(p)
+        def tap_sum(src, unit):
+            def at(t):
+                return src[t * unit : t * unit + (h if unit == 1 else wc), :]
+
+            acc = taps[p] * at(p)
             for t in range(p):
-                acc = acc + taps[t] * (slice_at(t) + slice_at(2 * p - t))
+                acc = acc + taps[t] * (at(t) + at(2 * p - t))
             return acc
 
-        accv = tap_sum(lambda t: xf[t : t + h, :])
+        accv = tap_sum(xpadv, 1)  # [h, wc]
         # horizontal taps on the transpose: lane offsets t*c become sublane
         # slice offsets (unrestricted, cheap) instead of lane rolls (~0.5 ms
         # per batch for a 9-tap kernel); transposes cost ~0.08 ms each
-        acct = jnp.swapaxes(accv, 0, 1)  # [lin, h]
-        acch = tap_sum(lambda t: acct[t * c : t * c + wc, :])
+        acct = jnp.swapaxes(accv, 0, 1)  # [wc, h]
+        acctp = jnp.concatenate(
+            [acct[c * i : c * i + c, :] for i in range(p, 0, -1)]
+            + [acct]
+            + [acct[c * (w - 2 - i) : c * (w - 2 - i) + c, :] for i in range(p)],
+            axis=0,
+        )  # [(w + 2p) * c, h]
+        acch = tap_sum(acctp, c)  # [wc, h]
         # positive taps summing to 1: a convex combination of [0,255] values
         # needs no clip after rint
         content = jnp.rint(jnp.swapaxes(acch, 0, 1))
     else:
-        content = xf[:, :wc]
+        content = xf
 
     def with_margins(mid, left, total):
         rows = mid.shape[0]
@@ -256,13 +278,17 @@ def fused_blur_rotate_image(
         ksize = cv2_gaussian_ksize(float(radius))
         taps = tuple(float(t) for t in gaussian_taps(ksize, float(radius)))
         p = ksize // 2
-        xp = jnp.pad(img, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
-        xp = xp.reshape(n, h + 2 * p, (w + 2 * p) * c)
+        if h < p + 2 or w < p + 2:
+            # reflect-101 slices need dim > p+1; tiny images blur in XLA
+            from imagetransformations_tpu.ops.stencil import gaussian_blur
+
+            return fused_blur_rotate_image(
+                gaussian_blur(img, float(radius)), 0.0, angle_deg,
+                fill=fill, grayscale_out=grayscale_out,
+            )
     else:
         taps, p = (1.0,), 0
-        xp = img.reshape(n, h, wc)
-    lin = _round_up(xp.shape[2] + 2 * p * c + c, 128)
-    xp = jnp.pad(xp, [(0, 0), (0, 0), (0, lin - xp.shape[2])])
+    xp = img.reshape(n, h, wc)
 
     f1b = jnp.broadcast_to(jnp.asarray(f1)[:, None], (h, 128))
     f2b = jnp.broadcast_to(jnp.asarray(f2)[:, None], (wc, 128))
@@ -283,7 +309,7 @@ def fused_blur_rotate_image(
         out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h + 2 * p, lin), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((wc, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -145,11 +145,32 @@ def prefetch_to_device(
         yield item
 
 
-def save_batch_images(images: np.ndarray, paths: list[str], out_dir: str, suffix: str) -> None:
-    """Write an NHWC uint8 batch back to disk (parity with transformation.py:160-162)."""
+def save_batch_images(
+    images: np.ndarray,
+    paths: list[str],
+    out_dir: str,
+    suffix: str,
+    native: bool = False,
+) -> None:
+    """Write an NHWC uint8 batch back to disk (parity with transformation.py:160-162).
+
+    ``native=True`` routes through the multithreaded C++ libjpeg encoder
+    (pipeline/native_io.encode_batch); default stays on PIL for byte-level
+    reproducibility with the reference's saved outputs.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    out_paths = [
+        os.path.join(
+            out_dir, f"{os.path.splitext(os.path.basename(p))[0]}_{suffix}.jpeg"
+        )
+        for p in paths
+    ]
+    if native:
+        from imagetransformations_tpu.pipeline.native_io import encode_batch
+
+        encode_batch(np.asarray(images), out_paths)
+        return
     from PIL import Image
 
-    os.makedirs(out_dir, exist_ok=True)
-    for img, p in zip(np.asarray(images), paths):
-        name = os.path.splitext(os.path.basename(p))[0]
-        Image.fromarray(img).save(os.path.join(out_dir, f"{name}_{suffix}.jpeg"))
+    for img, op in zip(np.asarray(images), out_paths):
+        Image.fromarray(img).save(op)

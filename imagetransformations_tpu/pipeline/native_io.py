@@ -48,6 +48,13 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        if hasattr(lib, "itt_encode_batch"):
+            lib.itt_encode_batch.restype = ctypes.c_int
+            lib.itt_encode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
         _lib = lib
     except OSError:
         _build_failed = True
@@ -86,6 +93,35 @@ def decode_batch(
     if failures:
         raise IOError(f"native loader failed to decode {failures} of {len(paths)} files")
     return out
+
+
+def encode_batch(
+    images: np.ndarray, paths: list[str], quality: int = 75, n_threads: int = 4
+) -> None:
+    """JPEG-encode an NHWC uint8 batch to per-image file paths.
+
+    Multithreaded libjpeg (quality default 75 = PIL's default). Falls back
+    to PIL when the native library can't be built. An old cached
+    libittloader.so without the encoder entry point also falls back (delete
+    native/libittloader.so to rebuild).
+    """
+    images = np.ascontiguousarray(np.asarray(images, np.uint8))
+    n, h, w, c = images.shape
+    assert c == 3 and len(paths) == n
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "itt_encode_batch"):
+        from PIL import Image
+
+        for img, p in zip(images, paths):
+            Image.fromarray(img).save(p, quality=quality)
+        return
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.itt_encode_batch(
+        arr, n, images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, quality, n_threads,
+    )
+    if failures:
+        raise IOError(f"native encoder failed on {failures} of {n} files")
 
 
 def load_folder_images_native(

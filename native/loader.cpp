@@ -199,4 +199,57 @@ int itt_image_size(const char* path, int* w, int* h) {
     return decode_any(path, rgb, *w, *h) ? 0 : 1;
 }
 
+// encode n NHWC uint8 RGB images (imgs[n][H][W][3]) as JPEG files at the
+// given paths (quality 1-100; PIL's default is 75); returns failure count
+int itt_encode_batch(const char** paths, int n, const uint8_t* imgs, int H,
+                     int W, int quality, int n_threads) {
+    std::atomic<int> next(0), failures(0);
+    const size_t img_bytes = static_cast<size_t>(H) * W * 3;
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n) break;
+            FILE* f = fopen(paths[i], "wb");
+            if (!f) { failures.fetch_add(1); continue; }
+            jpeg_compress_struct cinfo;
+            JpegErrorMgr jerr;
+            cinfo.err = jpeg_std_error(&jerr.pub);
+            jerr.pub.error_exit = jpeg_error_exit;
+            if (setjmp(jerr.setjmp_buffer)) {
+                jpeg_destroy_compress(&cinfo);
+                fclose(f);
+                failures.fetch_add(1);
+                continue;
+            }
+            jpeg_create_compress(&cinfo);
+            jpeg_stdio_dest(&cinfo, f);
+            cinfo.image_width = W;
+            cinfo.image_height = H;
+            cinfo.input_components = 3;
+            cinfo.in_color_space = JCS_RGB;
+            jpeg_set_defaults(&cinfo);
+            jpeg_set_quality(&cinfo, quality, TRUE);
+            jpeg_start_compress(&cinfo, TRUE);
+            const uint8_t* img = imgs + i * img_bytes;
+            while (cinfo.next_scanline < cinfo.image_height) {
+                JSAMPROW row = const_cast<uint8_t*>(
+                    img + static_cast<size_t>(cinfo.next_scanline) * W * 3);
+                jpeg_write_scanlines(&cinfo, &row, 1);
+            }
+            jpeg_finish_compress(&cinfo);
+            jpeg_destroy_compress(&cinfo);
+            fclose(f);
+        }
+    };
+    int t = n_threads > 0 ? n_threads : 1;
+    if (t == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        for (int i = 0; i < t; i++) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
+    }
+    return failures.load();
+}
+
 }  // extern "C"

