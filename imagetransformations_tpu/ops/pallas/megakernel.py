@@ -5,14 +5,22 @@ by the XLA u8 transposes between shear orientations (~0.43 ms each at
 ~140 GB/s, 3 per batch) and by HBM round-trips between stages. This kernel
 keeps ONE image resident in VMEM for the entire chain:
 
-  u8 load -> f32 -> vertical blur taps (sublane slices)
-           -> horizontal blur taps (grouped lane rolls) -> rint quantize
+  u8 load -> f32 -> in-kernel reflect-101 pad (sublane concats)
+           -> vertical blur taps (sublane slices, symmetric pairs)
+           -> horizontal blur taps (sublane slices on the in-VMEM transpose)
+           -> rint quantize
            -> shear X (per-run static lane rolls + f32 lerp) -> trunc quantize
            -> in-VMEM f32 transpose
            -> shear Y (as X on the transposed slab)        -> trunc quantize
            -> transpose back
            -> shear X                                       -> trunc quantize
            -> optional PIL-exact grayscale -> u8 store
+
+Shear slabs carry a single RIGHT fill pad: the cyclic roll wraps negative
+source positions into the pad (= fill), and the lerp-partner roll wraps
+source pixel -1's partner onto content pixel 0 — exactly the oracle's
+lerp(fill, v[0], f) at the left border. No left margin, no 128-alignment
+bookkeeping, ~10-20% narrower slabs.
 
 HBM traffic is exactly one u8 read + one u8 write per image; orientation
 changes are Mosaic-internal f32 relayouts. Integer shear shifts are static
@@ -28,11 +36,10 @@ Semantics (differential-tested):
 - rotation: oracle/fast_warp.rotate_3shear (u8-trunc between passes)
 - grayscale: PIL convert('L') L24 fixed point, replicated to 3 channels
 
-Mosaic constraints honored: all kept-region lane offsets are 128-aligned
-(margins rounded up to 128 lanes); uint8<->f32 casts bridge via int32;
-pltpu.roll shifts are non-negative; no fan-out roll chains on full slabs
-(grouped 8-row slices instead — full-slab roll fan-out crashes the TPU
-compiler backend).
+Mosaic constraints honored: kept slices start at lane 0; uint8<->f32 casts
+bridge via int32; pltpu.roll shifts are non-negative; no fan-out roll
+chains on full slabs (sublane slices instead — full-slab roll fan-out
+crashes the TPU compiler backend); concat pieces must be non-empty.
 
 Reference behavior being rebuilt: pipenline/cifar_image_transformations.py
 (blur), transformation.py:198 (rotate), transformation.py:254 (grayscale).
@@ -101,7 +108,9 @@ def _grayscale_rows(xi: jnp.ndarray, cv: jnp.ndarray, m: jnp.ndarray) -> jnp.nda
     lanes = xi.shape[-1]
     p = xi * cv
     sum3 = p + pltpu.roll(p, 1, axis=1) + pltpu.roll(p, lanes - 1, axis=1)
-    luma = jnp.floor((sum3 + 32768.0) * (1.0 / 65536.0))
+    luma = (sum3 + 32768.0) * (1.0 / 65536.0)
+    # no explicit floor: the masks are one-hot per lane, so the final
+    # astype(int32) truncation applies the floor (values are >= 0)
     return (
         luma * m[1:2]
         + pltpu.roll(luma, lanes - 1, axis=1) * m[0:1]
@@ -140,10 +149,8 @@ def _mega_kernel(
     h: int,
     wc: int,
     c: int,
-    ls1: int,
-    ls2: int,
-    mx: int,  # 128-aligned left margin, normal slabs (lanes)
-    my: int,  # 128-aligned left margin, transposed slab (lanes)
+    ls1: int,  # pass-1/3 slab lanes (wc + right fill pad, 128-mult)
+    ls2: int,  # pass-2 slab lanes (h + right fill pad, 128-mult)
     taps: tuple[float, ...],
     runs1: tuple[tuple[int, int, int], ...],
     runs2: tuple[tuple[int, int, int], ...],
@@ -201,15 +208,15 @@ def _mega_kernel(
         content = xf
 
     def with_margins(mid, left, total):
+        # zero-width pieces crash the Mosaic vectorizer — emit only nonempty
         rows = mid.shape[0]
-        return jnp.concatenate(
-            [
-                jnp.full((rows, left), fillf),
-                mid,
-                jnp.full((rows, total - left - mid.shape[1]), fillf),
-            ],
-            axis=1,
-        )
+        parts = []
+        if left:
+            parts.append(jnp.full((rows, left), fillf))
+        parts.append(mid)
+        if total - left - mid.shape[1]:
+            parts.append(jnp.full((rows, total - left - mid.shape[1]), fillf))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     if identity_rot:
         # angle == 0: every shear is the identity (k=0, f=0) — skip the
@@ -223,17 +230,24 @@ def _mega_kernel(
     f1c = f1_ref[:, :1]
     f2c = f2_ref[:, :1]
 
+    # A single RIGHT fill pad serves both shear directions: the cyclic roll
+    # wraps negative source positions into the pad (= fill), and the wrap of
+    # the lerp-partner roll maps source pixel -1's partner onto content
+    # pixel 0 — exactly the oracle's lerp(fill, v[0], f) at the left edge.
+    # No 128-aligned left margin means every slab is ~10-20% narrower and
+    # all kept slices start at lane 0.
+
     # ---- pass 1: shear X ---------------------------------------------------
-    s1 = _shear_pass(with_margins(content, mx, ls1), runs1, f1c, c)
+    s1 = _shear_pass(with_margins(content, 0, ls1), runs1, f1c, c)
 
     # ---- pass 2: shear Y on the in-VMEM transpose --------------------------
-    t1 = jnp.swapaxes(s1[:, mx : mx + wc], 0, 1)  # [wc, h]
-    s2 = _shear_pass(with_margins(t1, my, ls2), runs2, f2c, 1)
+    t1 = jnp.swapaxes(s1[:, :wc], 0, 1)  # [wc, h]
+    s2 = _shear_pass(with_margins(t1, 0, ls2), runs2, f2c, 1)
 
     # ---- pass 3: shear X, fused grayscale, u8 store -------------------------
-    t2 = jnp.swapaxes(s2[:, my : my + h], 0, 1)  # [h, wc]
-    s3 = _shear_pass(with_margins(t2, mx, ls1), runs1, f1c, c)
-    out = s3[:, mx : mx + wc]
+    t2 = jnp.swapaxes(s2[:, :h], 0, 1)  # [h, wc]
+    s3 = _shear_pass(with_margins(t2, 0, ls1), runs1, f1c, c)
+    out = s3[:, :wc]
     if grayscale_out:
         out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:4, :])
     o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
@@ -267,12 +281,10 @@ def fused_blur_rotate_image(
     runs1 = tuple(_runs(k1))
     runs2 = tuple(_runs(np.repeat(k2px, c)))
 
-    px = max(int(np.ceil(np.abs(sx).max())) + 1, 1)  # pass-1/3 margin, px
-    py = max(int(np.ceil(np.abs(sy).max())) + 1, 1)  # pass-2 margin, px
-    mx = _round_up(px * c, 128)
-    my = _round_up(py, 128)
-    ls1 = _round_up(mx + wc + px * c + c, 128)
-    ls2 = _round_up(my + h + py + 1, 128)
+    px = max(int(np.ceil(np.abs(sx).max())) + 1, 1)  # pass-1/3 shift bound, px
+    py = max(int(np.ceil(np.abs(sy).max())) + 1, 1)  # pass-2 shift bound, px
+    ls1 = _round_up(wc + (px + 2) * c, 128)
+    ls2 = _round_up(h + py + 2, 128)
 
     if radius > 0:
         ksize = cv2_gaussian_ksize(float(radius))
@@ -301,7 +313,7 @@ def fused_blur_rotate_image(
     out = pl.pallas_call(
         functools.partial(
             _mega_kernel,
-            h=h, wc=wc, c=c, ls1=ls1, ls2=ls2, mx=mx, my=my,
+            h=h, wc=wc, c=c, ls1=ls1, ls2=ls2,
             taps=taps, runs1=runs1, runs2=runs2,
             fill=fill, grayscale_out=grayscale_out,
             identity_rot=(float(angle_deg) == 0.0),
