@@ -70,18 +70,18 @@ def parity_check() -> float:
     return err_fast
 
 
-def timed_gpix() -> float:
+def timed_gpix(per_chip_batch: int, h: int, w: int, k: int = 32) -> float:
     """Per-iteration device time via a K-iteration scan with a scalar fetch.
 
     ``jax.block_until_ready`` does not actually synchronize on the tunneled
     axon runtime, so timing forces a device->host scalar read; the per-call
-    RPC floor (~30 ms) is amortized/cancelled by differencing two scan
-    lengths.
+    RPC floor (~30 ms) is amortized/cancelled against a trivial jit.
+    Returns per-chip Gpix/s for the fused chain at (batch, h, w, 3).
     """
     rng = np.random.default_rng(1)
     n_dev = len(jax.devices())
-    batch = BATCH * n_dev
-    imgs = jnp.asarray(rng.integers(0, 256, (batch, H, W, 3), dtype=np.uint8))
+    batch = per_chip_batch * n_dev
+    imgs = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8))
     if n_dev > 1:
         # shard the batch over all chips (pure map, zero collectives)
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -104,79 +104,36 @@ def timed_gpix() -> float:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    def scanned(k: int):
+    def scanned(length: int):
         # the scan carry is the flattened [N, H, W*C] view: composed chains
         # run flat-to-flat inside one jit (the NHWC<->flat reshapes at op
         # boundaries cancel), while an NHWC carry forces XLA to insert two
         # 25 MB relayout copies per iteration (+0.27 ms measurement artifact,
         # confirmed by profile trace)
-        n, h, w, c = imgs.shape
-
         def body(carry, _):
-            out = fn(carry.reshape(n, h, w, c))
-            return out.reshape(n, h, w * c), None
+            out = fn(carry.reshape(batch, h, w, 3))
+            return out.reshape(batch, h, w * 3), None
 
         return jax.jit(
             lambda a: jnp.sum(
-                jax.lax.scan(body, a.reshape(n, h, w * c), None, length=k)[0].astype(
-                    jnp.float32
-                )
+                jax.lax.scan(body, a.reshape(batch, h, w * 3), None, length=length)[
+                    0
+                ].astype(jnp.float32)
             )
         )
 
     # measure the per-call RPC floor with a trivial computation, then one
     # large-K window; best-of-N on both to reject tunnel stalls
     floor = walls(jax.jit(lambda a: jnp.sum(a[:1, :8, :8].astype(jnp.float32))))
-    k = 32
-    wall = walls(scanned(k))
-    dt = max((wall - floor) / k, 1e-9)
-    return batch * H * W / dt / 1e9 / n_dev  # per-chip throughput
-
-
-def timed_gpix_224() -> float:
-    """Same fused chain at the ImageNet shape (128x224x224x3) — the
-    megakernel has no alignment gates, so 224 batches fuse too."""
-    rng = np.random.default_rng(2)
-    imgs = jnp.asarray(rng.integers(0, 256, (128, 224, 224, 3), dtype=np.uint8))
-    chain = [
-        OpSpec("blur", {"radius": RADIUS}),
-        OpSpec("rotation", {"angle": ANGLE}),
-        OpSpec("grayscale"),
-    ]
-    fn = build_chain_fn(chain, jit=False)
-
-    def walls(g, reps: int = 5) -> float:
-        float(g(imgs))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(g(imgs))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    def scanned(k: int):
-        def body(carry, _):
-            out = fn(carry.reshape(128, 224, 224, 3))
-            return out.reshape(128, 224, 224 * 3), None
-
-        return jax.jit(
-            lambda a: jnp.sum(
-                jax.lax.scan(body, a.reshape(128, 224, 224 * 3), None, length=k)[
-                    0
-                ].astype(jnp.float32)
-            )
-        )
-
-    floor = walls(jax.jit(lambda a: jnp.sum(a[:1, :8, :8].astype(jnp.float32))))
-    k = 24
     dt = max((walls(scanned(k)) - floor) / k, 1e-9)
-    return 128 * 224 * 224 / dt / 1e9
+    return batch * h * w / dt / 1e9 / n_dev  # per-chip throughput
 
 
 def main() -> None:
     max_err = parity_check()
-    gpix = timed_gpix()
-    gpix224 = timed_gpix_224()
+    gpix = timed_gpix(BATCH, H, W)
+    # ImageNet shape: the megakernel has no alignment gates, so 224 fuses too
+    gpix224 = timed_gpix(128 // max(len(jax.devices()), 1), 224, 224, k=24)
     result = {
         "metric": "fused blur+rotate+grayscale Gpixels/s/chip (512x512 RGB)",
         "value": round(gpix, 3),

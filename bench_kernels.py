@@ -81,7 +81,6 @@ def main() -> None:
                rotate_3shear_batched(x, jnp.asarray(angles)), batched_ref,
                max_lsb=0)
 
-    chain_ref = np.stack([oe.grayscale_rgb(im) for im in rot_ref])
     chain_in = np.stack([oe.grayscale_rgb(im) for im in ofw.rotate_3shear(blur_ref, ANGLE)])
     ok &= gate("blur_rotate_fused",
                blur_rotate_fused(x, RADIUS, ANGLE, grayscale_out=True), chain_in)

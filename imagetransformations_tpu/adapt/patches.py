@@ -67,7 +67,7 @@ def adet_operator(
     rotate_deg: float = 15.0,
     shear_max: float = 0.15,
     brightness_jitter: float = 0.2,
-    corruption_fns: tuple | None = "default",
+    corruption_fns: "tuple | None | str" = "default",
 ) -> jnp.ndarray:
     """ADET operator: per-image random corruption + random-affine patch paste.
 

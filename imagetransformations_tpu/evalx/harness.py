@@ -33,8 +33,10 @@ from imagetransformations_tpu.uq.calibration import auroc, youden_threshold
 
 
 def _elastic(x, v, k):
-    m = min(int(x.shape[-3]), int(x.shape[-2]))
-    return cr.elastic_transform(x, v[0] * m, max(v[1] * m, 0.5), key=k)
+    alpha, sigma = cr.elastic_pixels(
+        int(x.shape[-3]), int(x.shape[-2]), v[0], v[1]
+    )
+    return cr.elastic_transform(x, alpha, sigma, key=k)
 
 
 #: corruption name -> (fn(images_u8, severity_value, key), [5 severity values]);

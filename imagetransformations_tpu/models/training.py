@@ -31,6 +31,10 @@ def make_train_step(model_apply: Callable, tx) -> Callable:
                 {"params": p, "batch_stats": batch_stats}, x, True,
                 mutable=["batch_stats"],
             )
+            # mixed precision: models built with dtype=bfloat16 run conv/
+            # matmul on the MXU in bf16 (2x throughput) with f32 params;
+            # the loss reduction always happens in f32
+            logits = logits.astype(jnp.float32)
             loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
             return loss, (updates["batch_stats"], logits)
 

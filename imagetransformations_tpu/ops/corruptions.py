@@ -273,8 +273,12 @@ def frost(
         u_amp = jax.random.uniform(k2, (n, h, w), F32)
         g_noise = jax.random.normal(k3, (n, h, w), F32)
     else:
+        if u_amp is None or g_noise is None:
+            raise ValueError(
+                "frost: u_seed, u_amp and g_noise must all be given together"
+            )
         u_seed, u_amp, g_noise = (
-            jnp.asarray(a, F32)[None] if a.ndim == 2 else jnp.asarray(a, F32)
+            jnp.asarray(a, F32)[None] if jnp.asarray(a).ndim == 2 else jnp.asarray(a, F32)
             for a in (u_seed, u_amp, g_noise)
         )
     seeds = jnp.where(u_seed > F32(0.97), F32(0.5) + F32(0.5) * u_amp, F32(0.0))
@@ -317,6 +321,8 @@ def snow(
         g_noise = jax.random.normal(k1, (n, h, w), F32)
         angles_deg = jax.random.uniform(k2, (n,), F32, -135.0, -45.0)
     else:
+        if angles_deg is None:
+            raise ValueError("snow: angles_deg is required when g_noise is given")
         g_noise = jnp.asarray(g_noise, F32)
         if g_noise.ndim == 2:
             g_noise = g_noise[None]
@@ -397,11 +403,17 @@ def elastic_transform(
     return restore_layout(out if img.dtype == jnp.uint8 else out.astype(F32), single)
 
 
+def elastic_pixels(h: int, w: int, af: float, sf: float) -> tuple[float, float]:
+    """(alpha_frac, sigma_frac) -> (alpha, sigma) in pixels for an HxW image
+    (sigma floored at 0.5 px so tiny images still displace)."""
+    m = min(h, w)
+    return af * m, max(sf * m, 0.5)
+
+
 def elastic_params(h: int, w: int, severity: int) -> tuple[float, float]:
     """Severity -> (alpha, sigma) in pixels for an HxW image."""
     af, sf = ELASTIC_SEV[severity - 1]
-    m = min(h, w)
-    return af * m, max(sf * m, 0.5)
+    return elastic_pixels(h, w, af, sf)
 
 
 # ------------------------------------------------------------- pixelate

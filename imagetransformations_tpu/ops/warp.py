@@ -186,19 +186,27 @@ def affine_warp(
 def apply_rotation(img: jnp.ndarray, angle) -> jnp.ndarray:
     """Reference apply_rotation: PIL rotate(-angle), NEAREST, black fill.
 
-    uint8 batches with |angle| <= 45 (static) or traced angle vectors route
-    to the roll/select Pallas kernel (ops/pallas/rotate_gather.py) — XLA's
-    gather lowering costs ~525 ms per 32x512x512 batch, the kernel ~30-90x
-    less. Traced angles are assumed within +-45 deg (the reference's grids
-    sweep +-22.5, transformation.py:97); larger static angles and float
-    images use the XLA warp.
+    uint8 batches with |angle| <= 45 route to the roll/select Pallas kernel
+    (ops/pallas/rotate_gather.py) — XLA's gather lowering costs ~525 ms per
+    32x512x512 batch, the kernel ~30-90x less. The 45-degree bound is
+    checked on concrete values (python floats and non-traced arrays — every
+    direct call); angle arrays traced inside an enclosing jit cannot be
+    inspected and are ASSUMED within +-45 (the reference's grids sweep
+    +-22.5, transformation.py:97). Larger angles and float images use the
+    exact XLA warp.
     """
+    import jax
+
     x, single = as_batch(img)
     h, w = x.shape[1], x.shape[2]
     traced = not isinstance(angle, (int, float))
-    if x.dtype == jnp.uint8 and (
-        traced or abs(float(angle)) <= 45.0
-    ):
+    if traced and not isinstance(angle, jax.core.Tracer):
+        in_bounds = bool(np.abs(np.asarray(angle)).max() <= 45.0)
+    elif not traced:
+        in_bounds = abs(float(angle)) <= 45.0
+    else:
+        in_bounds = True  # enclosing-jit tracer: documented +-45 contract
+    if x.dtype == jnp.uint8 and in_bounds:
         from imagetransformations_tpu.ops.pallas.rotate_gather import (
             pil_rotate_nearest_batched,
         )
@@ -271,6 +279,10 @@ def perspective_coeffs(startpoints, endpoints) -> np.ndarray:
     """
     sp = np.asarray(startpoints, np.float64).reshape(-1, 2)
     ep = np.asarray(endpoints, np.float64).reshape(-1, 2)
+    if sp.shape[0] != ep.shape[0]:
+        raise ValueError(
+            f"startpoints/endpoints length mismatch: {sp.shape[0]} vs {ep.shape[0]}"
+        )
     if sp.shape[0] < 4:
         raise ValueError("need at least 4 point pairs")
     rows, rhs = [], []

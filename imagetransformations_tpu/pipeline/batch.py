@@ -132,7 +132,9 @@ def apply_all_transformations(
         values = sample_params(vkey, t, n)
         fn = _BATCHED_OPS.get(t)
         if t == "rotation" and pil_parity_rotation:
-            # exact PIL-NEAREST rotation per unique grid angle (gather path)
+            # PIL-NEAREST rotation with per-image grid angles via the
+            # roll/select kernel (f32 device coords: <=0.5% boundary flips
+            # vs PIL's f64, same budget as tests/test_warp.py)
             results = _apply_per_value(images, "rotation_pil", values)
         elif t == "shear" or (t == "scale" and pil_parity_scale_shear):
             results = _apply_per_value(images, t, values)

@@ -269,3 +269,30 @@ def test_resnet_mc_dropout_stochastic(rng):
     det = model.apply(v, x)
     det2 = model.apply(v, x)
     np.testing.assert_allclose(np.asarray(det), np.asarray(det2))
+
+
+def test_bf16_mixed_precision_training_step(rng):
+    """dtype=bfloat16 models run compute in bf16 (MXU 2x) with f32 params;
+    one train step must produce finite f32 loss and keep params f32."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from imagetransformations_tpu.models.resnet import resnet20
+    from imagetransformations_tpu.models.training import make_train_step
+
+    model = resnet20(dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, 4), jnp.int32)
+    variables = model.init(jax.random.key(0), x, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params)
+    )
+    tx = optax.sgd(1e-2)
+    step = make_train_step(model.apply, tx)
+    params2, stats2, _, loss, acc = step(params, stats, tx.init(params), x, y)
+    assert jnp.isfinite(loss) and loss.dtype == jnp.float32
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params2)
+    )

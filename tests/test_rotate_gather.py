@@ -60,3 +60,14 @@ def test_apply_rotation_static_small_angle_uses_kernel(rng):
     out = np.asarray(ops.apply_rotation(jnp.asarray(imgs), 12.5))
     for i in range(2):
         assert (out[i] != _pil(imgs[i], 12.5)).mean() <= 0.005
+
+
+def test_apply_rotation_concrete_out_of_bounds_falls_back(rng):
+    """Concrete (non-traced) angle arrays beyond +-45 deg must NOT route to
+    the roll/select kernel (its routing budget is 45 deg) — the exact XLA
+    warp handles them, so 90-degree rotations stay PIL-correct."""
+    imgs = rng.integers(0, 256, (2, 24, 24, 3), dtype=np.uint8)
+    angles = np.asarray([90.0, -60.0], np.float32)
+    out = np.asarray(ops.apply_rotation(jnp.asarray(imgs), jnp.asarray(angles)))
+    for i, a in enumerate(angles):
+        assert (out[i] != _pil(imgs[i], a)).mean() <= 0.005
