@@ -296,3 +296,32 @@ def test_bf16_mixed_precision_training_step(rng):
     assert all(
         p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params2)
     )
+
+
+def test_sharded_gaussian_blur_halo_exchange(rng):
+    """Row-sharded blur with ICI halo exchange (shard_map + ppermute) must be
+    bit-identical to the unsharded cv2-semantics blur: interior shard
+    borders get true neighbor rows, global borders reflect-101."""
+    from jax.sharding import Mesh
+
+    from imagetransformations_tpu.ops.sharded_stencil import sharded_gaussian_blur
+    from imagetransformations_tpu.ops.stencil import gaussian_blur
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    # 64 rows over 8 shards -> 8 rows/shard, halo p=4 for radius 1.5
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8))
+    out = np.asarray(sharded_gaussian_blur(imgs, 1.5, mesh))
+    ref = np.asarray(gaussian_blur(imgs, 1.5))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_blur_rejects_bad_split(rng):
+    from jax.sharding import Mesh
+
+    from imagetransformations_tpu.ops.sharded_stencil import sharded_gaussian_blur
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    imgs = jnp.zeros((1, 24, 24, 3), jnp.uint8)  # 3 rows/shard < p=4
+    with pytest.raises(ValueError):
+        sharded_gaussian_blur(imgs, 1.5, mesh)
