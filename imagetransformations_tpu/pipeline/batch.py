@@ -13,6 +13,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from imagetransformations_tpu.core.grids import PARAM_GRIDS, sample_params
 from imagetransformations_tpu.ops import elementwise as ew
@@ -50,30 +51,70 @@ def _rotation_by_unique_angle(x, values, key):
     return rotate_3shear_batched(x, jnp.asarray(values, jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def _value_sweep_shear_fast(x, values, grid: tuple):
-    """Fast shear: the Pallas per-row shift kernel (bilinear, white fill),
-    cropped to the input canvas — the non-PIL-parity batched path."""
-    import math
+@functools.partial(jax.jit, static_argnames=("max_shear",))
+def _shear_fast_batched(x, values, max_shear: float):
+    """Fast shear: ONE per-image-shift Pallas call (bilinear, white fill),
+    cropped to the input canvas — the non-PIL-parity batched path.
 
-    import numpy as np
+    values[n] is each image's shear factor; row y shifts by v*y - ceil(v*h)
+    (v > 0) like the reference's widened-canvas crop. The old 11-value
+    jnp.where sweep over shear_rows measured 49 s/batch at 32x512x512 (each
+    grid value rebuilt a slab padded for shifts up to v*h); the per-image
+    kernel is one executable for any value vector.
+    """
+    n, h = x.shape[0], x.shape[1]
+    v = jnp.asarray(values, jnp.float32).reshape(n, 1)
+    y = (jnp.arange(h, dtype=jnp.float32) + 0.5).reshape(1, h)
+    shifts = v * y - jnp.where(v > 0, jnp.ceil(v * jnp.float32(h)), 0.0)
+    from imagetransformations_tpu.ops.pallas.shear import shear_rows_logrouted
 
-    from imagetransformations_tpu.ops.pallas.shear import shear_rows
-
-    h = x.shape[1]
-    vd = values.reshape(-1, 1, 1, 1)
-    out = jnp.zeros_like(x)
-    y = np.arange(h, dtype=np.float64) + 0.5
-    for v in grid:
-        shift = int(math.ceil(v * h))
-        shifts = (v * y - shift).astype(np.float32) if v > 0 else (v * y).astype(np.float32)
-        out = jnp.where(vd == v, shear_rows(x, shifts, fill=255), out)
-    return out
+    pad = int(np.ceil(max_shear * h)) + 2
+    return shear_rows_logrouted(x, shifts, fill=255, max_shift_px=pad)
 
 
 def _shear_fast(x, values, key):
     grid = tuple(float(v) for v in PARAM_GRIDS["shear"].values())
-    return _value_sweep_shear_fast(x, jnp.asarray(values, jnp.float32), grid)
+    return _shear_fast_batched(
+        x, jnp.asarray(values, jnp.float32), max(abs(v) for v in grid)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bound",))
+def _translate_dynamic(x, values, bound: int):
+    """Per-image integer translation as pad + vmapped dynamic_slice.
+
+    Bit-identical to apply_translation (crop+paste on black, floor'd
+    shifts, transformation.py:284-307) for |t| <= bound, but a dynamic
+    slice instead of the XLA gather warp (~0.26 s -> sub-ms at 32x512x512).
+    """
+    n, h, w, c = x.shape
+    t = jnp.clip(
+        jnp.floor(jnp.asarray(values, jnp.float32)).astype(jnp.int32),
+        -bound, bound,
+    )
+    pad = jnp.pad(x, [(0, 0), (bound, bound), (bound, bound), (0, 0)])
+
+    def one(im, ti):
+        return jax.lax.dynamic_slice(im, (bound - ti, bound - ti, 0), (h, w, c))
+
+    return jax.vmap(one)(pad, t)
+
+
+def _translation_fast(x, values, key):
+    grid = tuple(float(v) for v in PARAM_GRIDS["translation"].values())
+    return _translate_dynamic(x, values, int(max(abs(v) for v in grid)))
+
+
+def _zoom_fast(x, values):
+    """random_zoom semantics via the gather-free separable kernel (the XLA
+    bilinear gather warp costs ~0.8 s per 32x512x512 batch)."""
+    from imagetransformations_tpu.ops.pallas.resample import zoom_bilinear_batched
+
+    grid = tuple(float(v) for v in PARAM_GRIDS["scale"].values())
+    return zoom_bilinear_batched(
+        x, jnp.asarray(values, jnp.float32),
+        min_factor=min(grid) - 0.05, max_factor=max(grid) + 0.05,
+    )
 
 
 #: transform type -> batched (images, values[N], key) -> images
@@ -83,10 +124,11 @@ _BATCHED_OPS: dict[str, Callable] = {
     "blur": lambda x, v, k: st.apply_blur(x, v),
     "gaussian_noise": lambda x, v, k: nz.apply_gaussian_noise(x, v, key=k),
     "rotation": _rotation_by_unique_angle,
-    "translation": lambda x, v, k: wp.apply_translation(x, v, v),
+    "translation": _translation_fast,
     # scale/shear change intermediate canvas size; the batched fast paths use
-    # the affine zoom (scale) and the Pallas row-shift kernel (shear)
-    "scale": lambda x, v, k: wp.random_zoom(x, v),
+    # the gather-free separable zoom kernel (scale) and the log-routed
+    # per-image row-shift kernel (shear)
+    "scale": lambda x, v, k: _zoom_fast(x, v),
     "shear": _shear_fast,
 }
 
@@ -136,7 +178,10 @@ def apply_all_transformations(
             # roll/select kernel (f32 device coords: <=0.5% boundary flips
             # vs PIL's f64, same budget as tests/test_warp.py)
             results = _apply_per_value(images, "rotation_pil", values)
-        elif t == "shear" or (t == "scale" and pil_parity_scale_shear):
+        elif (t == "shear" or t == "scale") and pil_parity_scale_shear:
+            # exact PIL canvas semantics per unique grid value; the BICUBIC
+            # shear sweep costs ~4.5 s/value at 512x512 (gather warp) — turn
+            # the flag off for the batched fast paths
             results = _apply_per_value(images, t, values)
         elif fn is None:
             continue

@@ -117,3 +117,70 @@ def test_chain_routes_traced_angles_to_batched_kernel(rng):
     for i, a in enumerate(np.asarray(angles)):
         ref = ofw.rotate_3shear(img[i : i + 1], float(a))
         np.testing.assert_array_equal(out[i : i + 1], ref)
+
+
+def test_shear_rows_logrouted_matches_oracle(rng):
+    """Log-routed per-image shear (traced shifts, no shift-sized padding)
+    must be bit-exact vs the fast-path oracle, including the border
+    fill-lerps reproduced by the cyclic wrap."""
+    from imagetransformations_tpu.oracle import fast_warp as ofw
+    from imagetransformations_tpu.ops.pallas.shear import shear_rows_logrouted
+
+    imgs = rng.integers(0, 256, (3, 64, 48, 3), dtype=np.uint8)
+    shifts = rng.uniform(-20, 20, (3, 64)).astype(np.float32)
+    out = np.asarray(
+        shear_rows_logrouted(
+            jnp.asarray(imgs), jnp.asarray(shifts), fill=255, max_shift_px=22
+        )
+    )
+    ref = np.concatenate(
+        [ofw.shear_rows(imgs[i : i + 1], shifts[i], fill=255) for i in range(3)]
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_shear_rows_logrouted_beyond_canvas_is_fill(rng):
+    from imagetransformations_tpu.ops.pallas.shear import shear_rows_logrouted
+
+    imgs = rng.integers(0, 256, (1, 16, 16, 3), dtype=np.uint8)
+    shifts = np.full((1, 16), 100.0, np.float32)
+    out = np.asarray(
+        shear_rows_logrouted(
+            jnp.asarray(imgs), jnp.asarray(shifts), fill=255, max_shift_px=101
+        )
+    )
+    assert (out == 255).all()
+
+
+def test_zoom_bilinear_batched_matches_random_zoom(rng):
+    """Gather-free separable zoom with traced per-image factors vs the
+    affine bilinear warp (<=1 LSB: XLA-CPU FMA contraction on boundaries)."""
+    from imagetransformations_tpu.ops import warp as wp
+    from imagetransformations_tpu.ops.pallas.resample import zoom_bilinear_batched
+
+    imgs = rng.integers(0, 256, (3, 64, 48, 3), dtype=np.uint8)
+    fs = np.asarray([0.9, 1.17, 1.4], np.float32)
+    out = np.asarray(zoom_bilinear_batched(jnp.asarray(imgs), jnp.asarray(fs)))
+    ref = np.concatenate(
+        [np.asarray(wp.random_zoom(imgs[i : i + 1], float(fs[i]))) for i in range(3)]
+    )
+    err = np.abs(out.astype(int) - ref.astype(int))
+    # <=1 LSB at <=1% of pixels: the XLA-CPU FMA contraction flips
+    # 0.5-boundary pixels (grid-value factors hit many; see CLAUDE.md)
+    assert err.max() <= 1 and (err > 0).mean() <= 0.01
+
+
+def test_translate_dynamic_matches_apply_translation(rng):
+    from imagetransformations_tpu.ops import warp as wp
+    from imagetransformations_tpu.pipeline.batch import _translate_dynamic
+
+    imgs = rng.integers(0, 256, (4, 40, 40, 3), dtype=np.uint8)
+    vals = np.asarray([-35.0, 0.0, 12.0, 50.0], np.float32)
+    out = np.asarray(_translate_dynamic(jnp.asarray(imgs), jnp.asarray(vals), 50))
+    ref = np.concatenate(
+        [
+            np.asarray(wp.apply_translation(imgs[i : i + 1], float(v), float(v)))
+            for i, v in enumerate(vals)
+        ]
+    )
+    np.testing.assert_array_equal(out, ref)
