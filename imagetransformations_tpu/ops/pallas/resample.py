@@ -180,3 +180,130 @@ def zoom_bilinear_batched(
         interpret=_interpret(),
     )(fac, hp, yc_in)
     return out[:, :, :wc].reshape(n, h, w, c)
+
+
+def _shear_bicubic_kernel(
+    f_sref,  # [n] f32 shear factors
+    x_ref,   # [1, h, wc] u8
+    xc_ref,  # [1, ls] f32 pixel centers (x + 0.5, clamped in pad)
+    o_ref,
+    *,
+    h: int,
+    w: int,
+    wc: int,
+    c: int,
+    ls: int,
+    b_shift: int,
+    nbits: int,
+):
+    from imagetransformations_tpu.ops.pallas.rotate_gather import (
+        _route_const_axis,
+    )
+
+    i = pl.program_id(0)
+    s = f_sref[i]
+    # PIL AFFINE matrix (1, s, -ceil(s*h) if s>0 else 0): oracle
+    # shear_matrix computes ceil on the python float; the traced version
+    # uses f32 ceil (boundary-identical for the reference grid)
+    m1 = s
+    m2 = -jnp.where(s > 0, jnp.ceil(s * float(h)), 0.0)
+
+    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
+    v = jnp.concatenate([xf, jnp.zeros((h, ls - wc), jnp.float32)], axis=1)
+
+    xo = xc_ref[0:1, :]  # [1, ls]
+    yo = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32) + 0.5
+    )
+    # same f32 op order as affine_warp: xx = m0*xo + m1*yo + m2
+    xx = (xo + m1 * yo) + m2  # [h, ls]
+    xin = xx - 0.5
+    x0 = jnp.floor(xin).astype(jnp.int32)
+    fx = xin - jnp.floor(xin)
+    xpix = (xo - 0.5).astype(jnp.int32)
+    k = x0 - xpix  # row-constant in exact math, +-1 from f32 rounding
+    cy = m1 * yo + m2
+    ky = jnp.floor(cy).astype(jnp.int32)  # [h, 1] row base shift
+    dk = jnp.clip(k - ky, -1, 1)  # per-position candidate in {-1, 0, 1}
+    valid = (xx >= 0) & (xx < w)
+
+    # 6 consecutive taps v[x + ky + t], t = -2..3, via one exact log route
+    # (ky is constant along the routed axis) + 5 chained unit rolls
+    base = _route_const_axis(v, ky + b_shift, 1, c, nbits, b_shift)
+    chain = [_roll_left(base, -2 * c, 1)]
+    for _ in range(5):
+        chain.append(_roll_left(chain[-1], c, 1))
+
+    def tap(j):  # v[x + k + j] for j in -1..2, honoring dk
+        # chain index: (k - ky) + j + 2 in 0..5
+        t = jnp.where(dk == -1, chain[j + 1], chain[j + 2])
+        return jnp.where(dk == 1, chain[j + 3], t)
+
+    t_m1, t_0, t_1, t_2 = tap(-1), tap(0), tap(1), tap(2)
+    # border clamping (affine_warp._gather clips sample indices): within the
+    # valid region only x0 in {-1, 0, w-2, w-1} need remaps, all of which
+    # stay inside the 4-tap window
+    c_m1 = jnp.where(x0 == -1, t_1, jnp.where(x0 == 0, t_0, t_m1))
+    c_0 = jnp.where(x0 == -1, t_1, t_0)
+    c_1 = jnp.where(x0 == -1, t_1, jnp.where(x0 >= w - 1, t_0, t_1))
+    c_2 = jnp.where(
+        x0 == -1, t_2, jnp.where(x0 >= w - 1, t_0,
+                                 jnp.where(x0 == w - 2, t_1, t_2))
+    )
+    # cubic Horner on values, identical ops to affine_warp's bicubic branch
+    p2 = -c_m1 + c_1
+    p3 = 2 * (c_m1 - c_0) + c_1 - c_2
+    p4 = -c_m1 + c_0 - c_1 + c_2
+    out = c_0 + fx * (p2 + fx * (p3 + fx * p4))
+    out = jnp.where(out <= 0, 0.0, jnp.where(out >= 255, 255.0, jnp.trunc(out)))
+    out = jnp.where(valid, out, 255.0)
+    o_ref[0] = out[:, :wc].astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("max_shear",))
+def shear_bicubic_batched(
+    img: jnp.ndarray, factors: jnp.ndarray, max_shear: float = 1.05
+) -> jnp.ndarray:
+    """Reference apply_shear (PIL AFFINE BICUBIC on a widened canvas, white
+    fill, transformation.py:212-226) cropped back to the input width, with
+    per-image TRACED shear factors in [0, max_shear].
+
+    The vertical cubic collapses (src_y == y exactly, so fy == 0 and the
+    y-Horner returns its center row), leaving a per-row horizontal 4-tap
+    resample with a row-constant integer shift: one exact log route + 5
+    chained rolls + candidate/border selects. Bit-compatible with
+    apply_shear(...)[:, :, :w] up to f32 FMA-contraction boundary flips.
+    Replaces the 11-value parity sweep that cost ~49 s per 32x512x512 batch.
+    """
+    n, h, w, c = img.shape
+    wc = w * c
+    ls = _round_up(wc + c, 128)
+    shift_max = int(math.ceil(max_shear * h)) + 2
+    b_shift = shift_max + 2
+    nbits = max(int(math.ceil(math.log2(2 * b_shift + 1))), 1)
+
+    xc = np.minimum(np.arange(ls) // c, w + 1).astype(np.float32) + 0.5
+    xc_in = jnp.asarray(xc).reshape(1, ls)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, wc), lambda i, f_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ls), lambda i, f_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wc), lambda i, f_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _shear_bicubic_kernel,
+            h=h, w=w, wc=wc, c=c, ls=ls, b_shift=b_shift, nbits=nbits,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(jnp.asarray(factors, jnp.float32), img.reshape(n, h, wc), xc_in)
+    return out.reshape(n, h, w, c)

@@ -203,6 +203,18 @@ def _apply_per_value(images: jnp.ndarray, t: str, values: jnp.ndarray):
 
     grid_name = {"scale": "scale", "shear": "shear", "rotation_pil": "rotation"}[t]
     grid = tuple(float(v) for v in PARAM_GRIDS[grid_name].values())
+    if t == "shear" and min(grid) >= 0.0:
+        # bit-exact apply_shear (BICUBIC, widened canvas, cropped) with
+        # per-image traced factors — the grid-value sweep ran 11 gather
+        # warps (~49 s per 32x512x512 batch)
+        from imagetransformations_tpu.ops.pallas.resample import (
+            shear_bicubic_batched,
+        )
+
+        return shear_bicubic_batched(
+            images, jnp.asarray(values, jnp.float32),
+            max_shear=max(grid) + 0.05,
+        )
     if t == "rotation_pil" and max(abs(v) for v in grid) <= 45.0:
         # per-image traced angles run directly (PIL-NEAREST roll/select
         # kernel) — the grid sweep burned len(grid) full-batch rotations

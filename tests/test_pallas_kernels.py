@@ -184,3 +184,24 @@ def test_translate_dynamic_matches_apply_translation(rng):
         ]
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_shear_bicubic_batched_matches_apply_shear(rng):
+    """Traced-factor BICUBIC shear vs the exact PIL-semantics op (widened
+    canvas cropped back): bit-exact — the vertical cubic collapses and the
+    horizontal pass reproduces affine_warp's f32 tap/Horner ops."""
+    from imagetransformations_tpu.ops import warp as wp
+    from imagetransformations_tpu.ops.pallas.resample import shear_bicubic_batched
+
+    imgs = rng.integers(0, 256, (3, 48, 40, 3), dtype=np.uint8)
+    facs = [0.0, 0.4, 1.0]
+    out = np.asarray(
+        shear_bicubic_batched(jnp.asarray(imgs), jnp.asarray(facs, np.float32))
+    )
+    ref = np.concatenate(
+        [
+            np.asarray(wp.apply_shear(imgs[i : i + 1], float(v)))[:, :, :40]
+            for i, v in enumerate(facs)
+        ]
+    )
+    np.testing.assert_array_equal(out, ref)
