@@ -261,9 +261,26 @@ def apply_shear(img: jnp.ndarray, shear_factor: float) -> jnp.ndarray:
 
 
 def random_zoom(img: jnp.ndarray, factor) -> jnp.ndarray:
-    """Center zoom keeping canvas size (fall_2025/transformations_code:50)."""
+    """Center zoom keeping canvas size (fall_2025/transformations_code:50).
+
+    Static uint8 zooms route through the gather-free separable kernel
+    (ops/pallas/resample.py, <=1 LSB vs the bilinear warp); traced factors
+    without known bounds keep the exact warp (the apply_all driver calls
+    the kernel directly with its grid bounds).
+    """
     x, single = as_batch(img)
     h, w = x.shape[1], x.shape[2]
+    if isinstance(factor, (int, float)) and x.dtype == jnp.uint8 and factor > 0:
+        from imagetransformations_tpu.ops.pallas.resample import (
+            zoom_bilinear_batched,
+        )
+
+        f = float(factor)
+        fac = jnp.full((x.shape[0],), f, jnp.float32)
+        out = zoom_bilinear_batched(
+            x, fac, min_factor=f - 0.01, max_factor=f + 0.01
+        )
+        return restore_layout(out, single)
     out = affine_warp(x, zoom_matrix(factor, w, h), method="bilinear", fill=0.0)
     return restore_layout(out, single)
 

@@ -195,13 +195,21 @@ def build_chain_fn(
                 x = rotate_3shear_batched(x, spec.params["angle"])
                 i += 1
             elif not strict_parity and spec.name in _AFFINE_OPS:
-                # collect the maximal affine run and fuse into one gather
-                m = _affine_matrix(spec, w, h)
+                # collect the maximal affine run; fuse MULTI-op runs into one
+                # gather (one resampling instead of k). Single ops go to their
+                # dedicated implementations — static translation is a canvas
+                # copy, flips are jnp.flip, zoom has a gather-free kernel;
+                # the gather warp costs 0.26-0.84 s per 32x512x512 batch.
                 j = i + 1
                 while j < len(chain) and chain[j].name in _AFFINE_OPS:
-                    m = wp.compose_matrices(m, _affine_matrix(chain[j], w, h))
                     j += 1
-                x = wp.affine_warp(x, m, method=warp_method, fill=0.0)
+                if j == i + 1:
+                    x = _apply_simple(x, spec, keys[i])
+                else:
+                    m = _affine_matrix(spec, w, h)
+                    for spec2 in chain[i + 1 : j]:
+                        m = wp.compose_matrices(m, _affine_matrix(spec2, w, h))
+                    x = wp.affine_warp(x, m, method=warp_method, fill=0.0)
                 i = j
             elif (
                 not strict_parity
