@@ -81,3 +81,32 @@ def test_chain_rotation_only_megakernel(rng):
     )
     ref = ofw.rotate_3shear(imgs, -10.0)
     assert np.array_equal(out, ref)
+
+
+def test_chain_single_affine_ops_match_dedicated_paths(rng):
+    """Single-op affine chain stages route to dedicated implementations
+    (flip -> jnp.flip, static translation -> canvas copy, static zoom ->
+    the gather-free kernel); results must match the op semantics."""
+    from imagetransformations_tpu.ops import warp as wp
+
+    imgs = rng.integers(0, 256, (2, 40, 48, 3), dtype=np.uint8)
+    x = jnp.asarray(imgs)
+    out = np.asarray(build_chain_fn([OpSpec("flip_vertical")])(x))
+    np.testing.assert_array_equal(out, imgs[:, ::-1])
+
+    out = np.asarray(build_chain_fn([OpSpec("translation", {"tx": 7})])(x))
+    ref = np.asarray(wp.apply_translation(x, 7, 7))
+    np.testing.assert_array_equal(out, ref)
+
+    out = np.asarray(build_chain_fn([OpSpec("zoom", {"factor": 1.2})])(x))
+    ref = np.asarray(wp.random_zoom(x, 1.2))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_chain_multi_affine_run_still_fuses(rng):
+    """translation+zoom runs still collapse into ONE resampling (the
+    affine-matrix composition path)."""
+    imgs = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    chain = [OpSpec("translation", {"tx": 4}), OpSpec("zoom", {"factor": 1.1})]
+    out = np.asarray(build_chain_fn(chain)(jnp.asarray(imgs)))
+    assert out.shape == imgs.shape and out.dtype == np.uint8
