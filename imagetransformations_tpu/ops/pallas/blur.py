@@ -130,7 +130,7 @@ def blur_separable(img: jnp.ndarray, radius: float) -> jnp.ndarray:
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
         grid=(n * tiles_per_img,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, th, wc),
             lambda s: (s // tiles_per_img, s % tiles_per_img, 0),
@@ -180,7 +180,7 @@ def blur_to_sheared_rows(
         ),
         out_shape=jax.ShapeDtypeStruct((h, n * total_out), jnp.uint8),
         grid=(n * tiles_per_img,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (th, total_out),
             lambda s: (s % tiles_per_img, s // tiles_per_img),

@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from imagetransformations_tpu.oracle.stencil import cv2_gaussian_ksize, gaussian_taps
 
@@ -97,7 +97,7 @@ def sharded_gaussian_blur(
 
     spec = P(None, axis, None, None)
     fn = shard_map(
-        block, mesh=mesh, in_specs=(spec,), out_specs=spec, check_rep=False
+        block, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
     )
     img = jax.device_put(img, NamedSharding(mesh, spec))
     return jax.jit(fn)(img)
