@@ -34,6 +34,7 @@ from imagetransformations_tpu.ops.warp import (  # noqa: F401
     apply_perspective,
     apply_rotation,
     apply_scale,
+    apply_scale_batched,
     apply_shear,
     apply_translation,
     center_crop,

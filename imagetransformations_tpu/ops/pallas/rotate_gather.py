@@ -167,6 +167,119 @@ def _rot_kernel(
     o_ref[0] = out.astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=64)
+def _host_bounds_check(h: int, w: int, c: int, max_angle_deg: float) -> None:
+    """Prove the kernel's linearization margins hold for this (shape, bound).
+
+    The guard constants (-4 slack, +9 on kh/kv, the 0.6*(w+h) base bound)
+    are heuristic; a violating (shape, max_angle) combination would make
+    unmatched selects silently emit 0-valued pixels inside the valid
+    region. This mirrors the kernel's routing EXACTLY in numpy (f32 math,
+    cyclic wraps as index mod) over a grid of worst-case angles and asserts
+    the routed result equals the direct gather on every valid pixel, plus
+    that the biased log-roll amounts fit their bit budgets. Runs once per
+    (shape, bound) at trace time; raises ValueError on any violation.
+    """
+    from imagetransformations_tpu.ops.warp import rotation_matrix
+
+    t = math.radians(max_angle_deg)
+    ct, st = math.cos(t), math.sin(t)
+    kh = int(math.ceil((1.0 / ct - 1.0) * w)) + 9
+    kv = int(math.ceil((1.0 - ct) * h)) + 9
+    bh_max = int(math.ceil((st / ct) * (h + 2) + 0.6 * (w + h) + 12))
+    bits_bh = max(int(math.ceil(math.log2(2 * bh_max + 1))), 1)
+    bv_max = int(math.ceil(st * (1.5 * w + 2) + h + kv + 12))
+    bits_bv = max(int(math.ceil(math.log2(2 * bv_max + 1))), 1)
+
+    f32 = np.float32
+    xc = (np.arange(w, dtype=f32) + f32(0.5)).reshape(1, w)
+    yc = (np.arange(h, dtype=f32) + f32(0.5)).reshape(h, 1)
+    rr = np.arange(h, dtype=f32).reshape(h, 1)
+    rows = np.arange(h).reshape(h, 1)
+    cols = np.arange(w).reshape(1, w)
+    v = (rows * w + cols).astype(np.int64)  # unique id per source pixel
+
+    angles = np.unique(
+        np.concatenate(
+            [
+                np.linspace(-max_angle_deg, max_angle_deg, 25),
+                np.asarray([0.0, max_angle_deg, -max_angle_deg]),
+            ]
+        )
+    )
+    for ang in angles:
+        m = np.asarray(rotation_matrix(float(ang), w, h), f32).reshape(6)
+        m0, m1, m2, m3, m4, m5 = (f32(x) for x in m)
+        xx = np.floor(m0 * xc + m1 * yc + m2)
+        yy = np.floor(m3 * xc + m4 * yc + m5)
+        yym = np.floor(m3 * xc + m4 * (yc - 1) + m5)
+        is_first = yy != yym
+        valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+
+        ya = np.ceil((rr - m3 * xc - m5) / m4 - f32(0.5)).astype(f32)
+        same = np.floor(m3 * xc + m4 * (ya + f32(1.5)) + m5) == rr
+        yb = np.where(same, ya + 1, ya).astype(f32)
+        xxa = np.floor(m0 * xc + m1 * (ya + f32(0.5)) + m2)
+        xxb = np.floor(m0 * xc + m1 * (yb + f32(0.5)) + m2)
+        base = np.floor(
+            (m1 / m4) * rr + (f32(0.5) / m4 + f32(0.5) * m1 + m2 - m1 * m5 / m4) - 4.0
+        ).astype(np.int64)
+        xpix = np.floor(xc - f32(0.5)).astype(np.int64)
+        resa = xxa.astype(np.int64) - xpix - base
+        resb = xxb.astype(np.int64) - xpix - base
+        if np.any(base + bh_max < 0) or np.any(base + bh_max >= 2**bits_bh):
+            raise ValueError(
+                f"rotate_gather base bound violated: shape ({h},{w}), "
+                f"max_angle {max_angle_deg}, angle {ang}"
+            )
+
+        # pass 1 mirror: ta[r, x] = v[r, (x + base_r + res) % w] if matched;
+        # -1 marks an unmatched select (the kernel would emit 0 there)
+        src_a = (cols + base + resa) % w
+        src_b = (cols + base + resb) % w
+        ta = np.where((resa >= 0) & (resa <= kh), np.take_along_axis(v, src_a, 1), -1)
+        tb = np.where((resb >= 0) & (resb <= kh), np.take_along_axis(v, src_b, 1), -1)
+
+        ybase = np.floor(m3 * xc + f32(0.5) * m4 + m5) - f32(kv - 4)
+        ybase_i = ybase.astype(np.int64)
+        if np.any(ybase_i + bv_max < 0) or np.any(ybase_i + bv_max >= 2**bits_bv):
+            raise ValueError(
+                f"rotate_gather ybase bound violated: shape ({h},{w}), "
+                f"max_angle {max_angle_deg}, angle {ang}"
+            )
+        resv = yy.astype(np.int64) - rows - ybase_i
+        src_r = (rows + ybase_i + resv) % h
+        ok_v = (resv >= 0) & (resv <= kv)
+        outa = np.where(ok_v, np.take_along_axis(ta, src_r, 0), -1)
+        outb = np.where(ok_v, np.take_along_axis(tb, src_r, 0), -1)
+        out = np.where(is_first, outa, outb)
+
+        exp = v[yy.astype(np.int64).clip(0, h - 1), xx.astype(np.int64).clip(0, w - 1)]
+        # a routing-margin violation shows as an UNMATCHED select (-1)
+        # inside the valid region — that must never happen. f32 floor/ceil
+        # ties at exact pixel boundaries can instead flip to a 1-pixel
+        # NEIGHBOR (the kernel's documented <=0.5% parity budget) — allow
+        # those, but only neighbors and only a tiny fraction.
+        if np.any(valid & (out == -1)):
+            n_bad = int((valid & (out == -1)).sum())
+            raise ValueError(
+                f"rotate_gather routing margin violated ({n_bad} unmatched "
+                f"pixels in the valid region): shape ({h},{w}), max_angle "
+                f"{max_angle_deg}, angle {ang} — widen the kernel's guard bounds"
+            )
+        flip = valid & (out != exp)
+        if np.any(flip):
+            d = np.abs(out[flip] - exp[flip])
+            neighbor = (d == 1) | (d == w) | (d == w - 1) | (d == w + 1)
+            frac = flip.sum() / max(int(valid.sum()), 1)
+            if not bool(neighbor.all()) or frac > 0.01:
+                raise ValueError(
+                    f"rotate_gather routing produced non-neighbor pixels "
+                    f"(or flip fraction {frac:.4f} > 1%): shape ({h},{w}), "
+                    f"max_angle {max_angle_deg}, angle {ang}"
+                )
+
+
 @functools.partial(
     jax.jit, static_argnames=("fill", "max_angle_deg")
 )
@@ -187,6 +300,7 @@ def pil_rotate_nearest_batched(
 
     n, h, w, c = img.shape
     wc = w * c
+    _host_bounds_check(h, w, c, float(max_angle_deg))
     m = jnp.asarray(rotation_matrix(angles_deg, w, h), jnp.float32)
     m = jnp.broadcast_to(m.reshape(-1, 6), (n, 6))
 

@@ -49,13 +49,16 @@ def rotation_matrix(angle_deg, w: int, h: int) -> jnp.ndarray:
 
 
 def translation_matrix(tx, ty) -> jnp.ndarray:
-    """Integer-pixel shift: out(x,y) <- src(x-tx, y-ty), zero fill."""
+    """Integer-pixel shift: out(x,y) <- src(x-tx, y-ty), zero fill.
+
+    Fractional shifts truncate toward zero (reference ``int(tx)``,
+    transformation.py:288-289)."""
     xp = jnp if (is_traced(tx) or is_traced(ty)) else np
     tx = xp.atleast_1d(xp.asarray(tx, dtype=np.float32 if xp is np else F32))
     ty = xp.broadcast_to(xp.atleast_1d(xp.asarray(ty, dtype=tx.dtype)), tx.shape)
     one = xp.ones_like(tx)
     zero = xp.zeros_like(tx)
-    out = xp.stack([one, zero, -xp.floor(tx), zero, one, -xp.floor(ty)], axis=-1)
+    out = xp.stack([one, zero, -xp.trunc(tx), zero, one, -xp.trunc(ty)], axis=-1)
     return out if xp is jnp else out.astype(np.float32)
 
 
@@ -183,35 +186,42 @@ def affine_warp(
 # ------------------------------------------------------------------ public ops
 
 
-def apply_rotation(img: jnp.ndarray, angle) -> jnp.ndarray:
+def apply_rotation(img: jnp.ndarray, angle, max_angle_deg: float | None = None) -> jnp.ndarray:
     """Reference apply_rotation: PIL rotate(-angle), NEAREST, black fill.
 
     uint8 batches with |angle| <= 45 route to the roll/select Pallas kernel
     (ops/pallas/rotate_gather.py) — XLA's gather lowering costs ~525 ms per
-    32x512x512 batch, the kernel ~30-90x less. The 45-degree bound is
-    checked on concrete values (python floats and non-traced arrays — every
-    direct call); angle arrays traced inside an enclosing jit cannot be
-    inspected and are ASSUMED within +-45 (the reference's grids sweep
-    +-22.5, transformation.py:97). Larger angles and float images use the
-    exact XLA warp.
+    32x512x512 batch, the kernel ~30-90x less. The bound is checked on
+    concrete values (python floats and non-traced arrays — every direct
+    call). Angle arrays traced inside an *enclosing* jit cannot be
+    inspected: they use the always-correct XLA warp UNLESS the caller
+    declares a bound via ``max_angle_deg`` (<= 45), which opts into the
+    kernel with that routing budget. Larger angles and float images use
+    the exact XLA warp.
     """
     import jax
 
     x, single = as_batch(img)
     h, w = x.shape[1], x.shape[2]
+    budget = 45.0 if max_angle_deg is None else float(max_angle_deg)
     traced = not isinstance(angle, (int, float))
     if traced and not isinstance(angle, jax.core.Tracer):
-        in_bounds = bool(np.abs(np.asarray(angle)).max() <= 45.0)
+        in_bounds = bool(np.abs(np.asarray(angle)).max() <= budget) and budget <= 45.0
     elif not traced:
-        in_bounds = abs(float(angle)) <= 45.0
+        in_bounds = abs(float(angle)) <= budget and budget <= 45.0
     else:
-        in_bounds = True  # enclosing-jit tracer: documented +-45 contract
+        # enclosing-jit tracer: only an explicit caller-declared bound
+        # routes to the kernel (an unbounded angle beyond the routing
+        # budget would silently produce unmatched-select garbage)
+        in_bounds = max_angle_deg is not None and budget <= 45.0
     if x.dtype == jnp.uint8 and in_bounds:
         from imagetransformations_tpu.ops.pallas.rotate_gather import (
             pil_rotate_nearest_batched,
         )
 
-        out = pil_rotate_nearest_batched(x, jnp.asarray(angle, jnp.float32))
+        out = pil_rotate_nearest_batched(
+            x, jnp.asarray(angle, jnp.float32), max_angle_deg=budget
+        )
         return restore_layout(out, single)
     if not traced:
         m = jnp.asarray(np.asarray(_ow.pil_rotate_matrix(-float(angle), w, h), np.float32))
@@ -227,13 +237,15 @@ def apply_translation(img: jnp.ndarray, tx, ty=None) -> jnp.ndarray:
     Static shifts are a zeros canvas + static slice copy (the NEAREST
     gather warp costs ~0.26 s per 32x512x512 batch on v5e); traced
     per-image shifts keep the exact warp (the apply_all driver uses the
-    dynamic-slice kernel in pipeline/batch.py instead).
+    dynamic-slice kernel in pipeline/batch.py instead). Fractional shifts
+    truncate toward zero like the reference's ``int(tx)``
+    (transformation.py:288-289) — NOT floor.
     """
     if ty is None:
         ty = tx
     x, single = as_batch(img)
     if isinstance(tx, (int, float)) and isinstance(ty, (int, float)):
-        sx, sy = int(np.floor(tx)), int(np.floor(ty))
+        sx, sy = int(tx), int(ty)
         h, w = x.shape[1], x.shape[2]
         hh, ww = h - abs(sy), w - abs(sx)
         out = jnp.zeros_like(x)
@@ -270,7 +282,15 @@ def random_zoom(img: jnp.ndarray, factor) -> jnp.ndarray:
     """
     x, single = as_batch(img)
     h, w = x.shape[1], x.shape[2]
-    if isinstance(factor, (int, float)) and x.dtype == jnp.uint8 and factor > 0:
+    # the select-over-rolls kernel unrolls ~|1-1/f|*dim/2 chained rolls:
+    # extreme factors would compile forever (or OOM Mosaic) — keep the
+    # exact warp outside a sane kernel range, mirroring apply_rotation's
+    # >45-degree fallback
+    if (
+        isinstance(factor, (int, float))
+        and x.dtype == jnp.uint8
+        and 0.5 <= factor <= 4.0
+    ):
         from imagetransformations_tpu.ops.pallas.resample import (
             zoom_bilinear_batched,
         )
@@ -407,6 +427,65 @@ def pil_resize(img: jnp.ndarray, out_w: int, out_h: int, method: str = "lanczos"
     t = jnp.einsum("nhwc,ow->nhoc", xi, hmat, preferred_element_type=jnp.int32)
     t = jnp.clip(jnp.right_shift(t + half, _ow.PRECISION_BITS), 0, 255)
     o = jnp.einsum("nhwc,oh->nowc", t, vmat, preferred_element_type=jnp.int32)
+    o = jnp.clip(jnp.right_shift(o + half, _ow.PRECISION_BITS), 0, 255)
+    out = o.astype(jnp.uint8) if img.dtype == jnp.uint8 else o.astype(F32)
+    return restore_layout(out, single)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _scale_canvas_matrices(size: int, grid: tuple) -> np.ndarray:
+    """[G, size, size] int32 canvas-composed LANCZOS matrices per grid factor.
+
+    apply_scale is resize(LANCZOS) then center crop (factor>1) / black pad
+    (factor<1) back to the original canvas (transformation.py:173-196).
+    Cropping/padding selects OUTPUT rows of each pass's coefficient matrix
+    and commutes with the other pass and with PIL's between-pass uint8
+    quantization (both are per-element), so the whole canvas-to-canvas op
+    per axis is ONE [size, size] matrix: resize rows shifted to their canvas
+    positions, zero rows where the canvas is black-padded (the fixed-point
+    rounding of a zero row quantizes to exactly 0 = black).
+    """
+    mats = np.zeros((len(grid), size, size), np.int32)
+    for g, v in enumerate(grid):
+        nsize = int(size * v)
+        m = _resize_matrix_fixed(size, nsize, "lanczos")
+        if v > 1.0:
+            off = (nsize - size) // 2
+            mats[g] = m[off : off + size]
+        else:
+            off = (size - nsize) // 2
+            mats[g, off : off + nsize] = m
+    return mats
+
+
+@op_jit(static=("grid",))
+def apply_scale_batched(img: jnp.ndarray, factors, grid: tuple) -> jnp.ndarray:
+    """Per-image apply_scale with traced factors over a static grid — ONE
+    executable, ONE LANCZOS resize per image (vs the grid-sweep's
+    len(grid) full-batch resizes).
+
+    Each image's two fixed-point coefficient matrices are selected from the
+    precomputed canvas-composed stack (``_scale_canvas_matrices``) by
+    nearest-grid-value index; the resize itself is the same int32 einsum
+    pair as ``pil_resize`` (MXU-friendly), so results are bit-exact vs
+    ``apply_scale`` per image. Reference: transformation.py:173-196.
+    """
+    x, single = as_batch(img)
+    h, w = x.shape[1], x.shape[2]
+    gt = tuple(float(v) for v in grid)
+    gv = jnp.asarray(np.asarray(gt, np.float32))
+    f = jnp.asarray(factors, F32).reshape(-1)
+    idx = jnp.argmin(jnp.abs(f[:, None] - gv[None, :]), axis=1)
+    hsel = jnp.asarray(_scale_canvas_matrices(w, gt))[idx]
+    vsel = jnp.asarray(_scale_canvas_matrices(h, gt))[idx]
+    half = jnp.int32(1 << (_ow.PRECISION_BITS - 1))
+    xi = jnp.clip(jnp.trunc(as_float(x)), 0.0, 255.0).astype(jnp.int32)
+    t = jnp.einsum("nhwc,now->nhoc", xi, hsel, preferred_element_type=jnp.int32)
+    t = jnp.clip(jnp.right_shift(t + half, _ow.PRECISION_BITS), 0, 255)
+    o = jnp.einsum("nhwc,noh->nowc", t, vsel, preferred_element_type=jnp.int32)
     o = jnp.clip(jnp.right_shift(o + half, _ow.PRECISION_BITS), 0, 255)
     out = o.astype(jnp.uint8) if img.dtype == jnp.uint8 else o.astype(F32)
     return restore_layout(out, single)

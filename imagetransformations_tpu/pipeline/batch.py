@@ -83,13 +83,14 @@ def _shear_fast(x, values, key):
 def _translate_dynamic(x, values, bound: int):
     """Per-image integer translation as pad + vmapped dynamic_slice.
 
-    Bit-identical to apply_translation (crop+paste on black, floor'd
-    shifts, transformation.py:284-307) for |t| <= bound, but a dynamic
-    slice instead of the XLA gather warp (~0.26 s -> sub-ms at 32x512x512).
+    Bit-identical to apply_translation (crop+paste on black, ``int(tx)``
+    truncation toward zero, transformation.py:284-307) for |t| <= bound,
+    but a dynamic slice instead of the XLA gather warp
+    (~0.26 s -> sub-ms at 32x512x512).
     """
     n, h, w, c = x.shape
     t = jnp.clip(
-        jnp.floor(jnp.asarray(values, jnp.float32)).astype(jnp.int32),
+        jnp.trunc(jnp.asarray(values, jnp.float32)).astype(jnp.int32),
         -bound, bound,
     )
     pad = jnp.pad(x, [(0, 0), (bound, bound), (bound, bound), (0, 0)])
@@ -214,6 +215,14 @@ def _apply_per_value(images: jnp.ndarray, t: str, values: jnp.ndarray):
         return shear_bicubic_batched(
             images, jnp.asarray(values, jnp.float32),
             max_shear=max(grid) + 0.05,
+        )
+    if t == "scale":
+        # bit-exact apply_scale (LANCZOS + center crop/pad) with per-image
+        # traced factors: per-image canvas-composed coefficient matrices,
+        # ONE resize per image — the grid sweep burned len(grid) full-batch
+        # fixed-point resizes (6x redundant compute on the default path)
+        return wp.apply_scale_batched(
+            images, jnp.asarray(values, jnp.float32), grid
         )
     if t == "rotation_pil" and max(abs(v) for v in grid) <= 45.0:
         # per-image traced angles run directly (PIL-NEAREST roll/select

@@ -204,7 +204,17 @@ def build_chain_fn(
                 while j < len(chain) and chain[j].name in _AFFINE_OPS:
                     j += 1
                 if j == i + 1:
-                    x = _apply_simple(x, spec, keys[i])
+                    if spec.name == "rotation":
+                        # only rotations the kernels rejected reach here
+                        # (static |angle|>45, or float images): keep the
+                        # single matrix-warp resample — falling through to
+                        # apply_rotation's PIL-parity NEAREST gather costs
+                        # ~525 ms/batch and silently changes warp_method
+                        x = wp.affine_warp(
+                            x, _affine_matrix(spec, w, h), method=warp_method, fill=0.0
+                        )
+                    else:
+                        x = _apply_simple(x, spec, keys[i])
                 else:
                     m = _affine_matrix(spec, w, h)
                     for spec2 in chain[i + 1 : j]:

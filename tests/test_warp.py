@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 from PIL import Image
 
+import jax
 import jax.numpy as jnp
 
 from imagetransformations_tpu import ops
@@ -165,3 +166,88 @@ class TestPerspectivePoints:
         ep = [(3, 0), (w + 2, 0), (w + 2, h - 1), (3, h - 1)]  # shift right 3
         out = np.asarray(apply_perspective(jnp.asarray(rgb_image), sp, ep))
         assert np.array_equal(out[:, 3:w], rgb_image[:, 0 : w - 3])
+
+
+def test_apply_scale_batched_bit_exact_per_image(rng):
+    """Traced per-image factors: one resize per image, bit-exact vs the
+    static apply_scale for every grid value (VERDICT r2 item 3)."""
+    grid = (0.9, 1.0, 1.1, 1.2, 1.3, 1.4)
+    imgs = rng.integers(0, 256, (len(grid), 32, 32, 3), dtype=np.uint8)
+    vals = np.asarray(grid, np.float32)
+    out = np.asarray(
+        ops.apply_scale_batched(jnp.asarray(imgs), jnp.asarray(vals), grid)
+    )
+    for i, v in enumerate(grid):
+        ref = np.asarray(ops.apply_scale(jnp.asarray(imgs[i]), float(v)))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_apply_scale_batched_nonsquare(rng):
+    """The resized size int(w*f) is truncation-sensitive: the grid's float
+    repr must be used for BOTH the batched matrices and the reference call
+    (f32(0.9)*40 = 35.999..., float64 0.9*40 = 36.000...). apply_all passes
+    f32-consistent grids+values, mirrored here."""
+    grid = tuple(float(np.float32(v)) for v in (0.9, 1.2))
+    imgs = rng.integers(0, 256, (2, 24, 40, 3), dtype=np.uint8)
+    vals = np.asarray([grid[1], grid[0]], np.float32)
+    out = np.asarray(
+        ops.apply_scale_batched(jnp.asarray(imgs), jnp.asarray(vals), grid)
+    )
+    for i, v in enumerate(vals):
+        ref = np.asarray(ops.apply_scale(jnp.asarray(imgs[i]), float(v)))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_translation_truncates_toward_zero(rng):
+    """Reference uses int(tx) (trunc toward zero), not floor: -3.7 -> -3
+    (transformation.py:288-289). ADVICE r2 item 4."""
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = np.asarray(ops.apply_translation(jnp.asarray(img), -3.7, 2.9))
+    ref = ow.apply_translation(img, -3, 2)
+    np.testing.assert_array_equal(out, ref)
+    # warp path (traced shifts) must agree
+    out_w = np.asarray(
+        ops.apply_translation(
+            jnp.asarray(img), jnp.float32(-3.7), jnp.float32(2.9)
+        )
+    )
+    np.testing.assert_array_equal(out_w, ref)
+
+
+def test_rotation_tracer_angle_without_bound_stays_exact(rng):
+    """An angle that is a tracer inside an enclosing jit must NOT route to
+    the roll/select kernel unless the caller declares max_angle_deg — a
+    >45-degree angle through the kernel would emit garbage (ADVICE r2 #1)."""
+    img = rng.integers(0, 256, (1, 24, 24, 3), dtype=np.uint8)
+
+    @jax.jit
+    def rot(x, a):
+        return ops.apply_rotation(x, a)
+
+    out = np.asarray(rot(jnp.asarray(img), jnp.float32(135.0)))
+    ref = np.asarray(ops.apply_rotation(jnp.asarray(img), 135.0))
+    np.testing.assert_array_equal(out, ref)
+
+    # with a declared bound, the kernel path engages and matches PIL
+    @jax.jit
+    def rot_b(x, a):
+        return ops.apply_rotation(x, a, max_angle_deg=25.0)
+
+    out_b = np.asarray(rot_b(jnp.asarray(img), jnp.asarray([15.0], jnp.float32)))
+    ref_b = np.asarray(
+        Image.fromarray(img[0]).rotate(-15.0, fillcolor=(0, 0, 0))
+    )
+    assert (out_b[0] != ref_b).mean() <= 0.005
+
+
+def test_random_zoom_extreme_factor_falls_back_to_warp(rng):
+    """Factors outside the kernel's sane range (< 0.5 or > 4) must use the
+    exact warp, not unroll thousands of chained rolls (ADVICE r2 #3)."""
+    img = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    x = jnp.asarray(img)
+    from imagetransformations_tpu.ops.warp import affine_warp, zoom_matrix
+
+    for f in (0.1, 8.0):
+        out = np.asarray(ops.random_zoom(x, f))
+        ref = np.asarray(affine_warp(x, zoom_matrix(f, 32, 32), method="bilinear", fill=0.0))
+        np.testing.assert_array_equal(out, ref)
