@@ -99,23 +99,25 @@ def _roll_left(x: jnp.ndarray, m: int, axis: int = 1) -> jnp.ndarray:
     return x if s == 0 else pltpu.roll(x, s, axis=axis)
 
 
-def _grayscale_rows(xi: jnp.ndarray, cv: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+def _grayscale_rows(xi: jnp.ndarray, cv: jnp.ndarray, cs: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
     """PIL L24 luma on interleaved-RGB lanes (all intermediates < 2^24,
-    exact in f32). Same math as shear._grayscale_lanes, but the per-lane
-    weight vector ``cv`` ([1, lanes]: 19595/38470/7471 by lane%3) and 0/1
-    channel masks ``m`` ([3, lanes]) arrive as kernel inputs — recomputing
-    them from iota costs ~0.2 ms/batch of integer VPU work."""
+    exact in f32). The per-lane weight vector ``cv`` ([1, lanes]:
+    19595/38470/7471 by lane%3), the center-lane scale ``cs`` (1/65536 at
+    lane%3==1, else 0) and bias ``cb`` (0.5 at lane%3==1, else 0) arrive as
+    kernel inputs — recomputing them from iota costs ~0.2 ms/batch.
+
+    11-op formulation (vs 14 for the mask-distribute version): the scaled
+    luma ``s`` is nonzero ONLY at center lanes, so distributing it to all
+    three channel lanes is ``s + roll(s, +-1)`` — the rolled neighbors of a
+    non-center lane are exactly one center lane and one zero. Division by
+    2^16 and the +0.5 bias are exact in f32 (sum3 is an integer < 2^24), so
+    s == (sum3 + 32768) / 65536 bit-for-bit at center lanes; the final
+    astype(int32) truncation applies PIL's floor (values are >= 0)."""
     lanes = xi.shape[-1]
-    p = xi * cv
-    sum3 = p + pltpu.roll(p, 1, axis=1) + pltpu.roll(p, lanes - 1, axis=1)
-    luma = (sum3 + 32768.0) * (1.0 / 65536.0)
-    # no explicit floor: the masks are one-hot per lane, so the final
-    # astype(int32) truncation applies the floor (values are >= 0)
-    return (
-        luma * m[1:2]
-        + pltpu.roll(luma, lanes - 1, axis=1) * m[0:1]
-        + pltpu.roll(luma, 1, axis=1) * m[2:3]
-    )
+    q = xi * cv
+    sum3 = q + pltpu.roll(q, 1, axis=1) + pltpu.roll(q, lanes - 1, axis=1)
+    s = sum3 * cs + cb
+    return s + pltpu.roll(s, 1, axis=1) + pltpu.roll(s, lanes - 1, axis=1)
 
 
 def _quant_trunc(x: jnp.ndarray) -> jnp.ndarray:
@@ -143,7 +145,8 @@ def _mega_kernel(
     x_ref,
     f1_ref,  # [h, 128] f32 lerp fracs, pass 1/3 (lane column 0)
     f2_ref,  # [wc, 128] f32 lerp fracs, pass 2
-    g_ref,  # [4, wc] f32: row 0 = L24 lane weights, rows 1-3 = channel masks
+    g_ref,  # [3, wc] f32: row 0 = L24 lane weights, row 1 = center-lane
+            # scale (1/65536), row 2 = center-lane bias (0.5)
     o_ref,
     *,
     h: int,
@@ -203,7 +206,18 @@ def _mega_kernel(
         acch = tap_sum(acctp, c)  # [wc, h]
         # positive taps summing to 1: a convex combination of [0,255] values
         # needs no clip after rint
-        content = jnp.rint(jnp.swapaxes(acch, 0, 1))
+        if identity_rot:
+            content = jnp.rint(jnp.swapaxes(acch, 0, 1))
+        else:
+            # fold pass-1's fill margins into the blur-output transpose:
+            # concat the (small) fill block on SUBLANES pre-transpose so the
+            # transpose materializes the widened [h, ls1] slab directly — a
+            # post-transpose with_margins concat copies the whole slab again
+            # (~1 full VPU pass); this copies only the ~10% margin block
+            accw = jnp.concatenate(
+                [acch, jnp.full((ls1 - wc, h), fillf)], axis=0
+            )  # [ls1, h]
+            content = jnp.rint(jnp.swapaxes(accw, 0, 1))  # [h, ls1]
     else:
         content = xf
 
@@ -223,7 +237,7 @@ def _mega_kernel(
         # three passes; blur(+grayscale) alone beats blur_separable by ~30%
         out = content
         if grayscale_out:
-            out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:4, :])
+            out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :])
         o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
         return
 
@@ -235,21 +249,30 @@ def _mega_kernel(
     # the lerp-partner roll maps source pixel -1's partner onto content
     # pixel 0 — exactly the oracle's lerp(fill, v[0], f) at the left edge.
     # No 128-aligned left margin means every slab is ~10-20% narrower and
-    # all kept slices start at lane 0.
+    # all kept slices start at lane 0. Between passes, the fill margins are
+    # rebuilt by concatenating the small fill block on SUBLANES *before*
+    # each transpose (the transpose then materializes the widened slab for
+    # free) — a post-transpose with_margins copies the full slab, ~1 VPU
+    # pass each, 3x per image.
 
     # ---- pass 1: shear X ---------------------------------------------------
-    s1 = _shear_pass(with_margins(content, 0, ls1), runs1, f1c, c)
+    c1 = content if content.shape[1] == ls1 else with_margins(content, 0, ls1)
+    s1 = _shear_pass(c1, runs1, f1c, c)
 
     # ---- pass 2: shear Y on the in-VMEM transpose --------------------------
-    t1 = jnp.swapaxes(s1[:, :wc], 0, 1)  # [wc, h]
-    s2 = _shear_pass(with_margins(t1, 0, ls2), runs2, f2c, 1)
+    s1w = jnp.concatenate(
+        [s1[:, :wc], jnp.full((ls2 - h, wc), fillf)], axis=0
+    )  # [ls2, wc]
+    s2 = _shear_pass(jnp.swapaxes(s1w, 0, 1), runs2, f2c, 1)  # [wc, ls2]
 
     # ---- pass 3: shear X, fused grayscale, u8 store -------------------------
-    t2 = jnp.swapaxes(s2[:, :h], 0, 1)  # [h, wc]
-    s3 = _shear_pass(with_margins(t2, 0, ls1), runs1, f1c, c)
+    s2w = jnp.concatenate(
+        [s2[:, :h], jnp.full((ls1 - wc, h), fillf)], axis=0
+    )  # [ls1, h]
+    s3 = _shear_pass(jnp.swapaxes(s2w, 0, 1), runs1, f1c, c)
     out = s3[:, :wc]
     if grayscale_out:
-        out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:4, :])
+        out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :])
     o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
@@ -305,10 +328,11 @@ def fused_blur_rotate_image(
     f1b = jnp.broadcast_to(jnp.asarray(f1)[:, None], (h, 128))
     f2b = jnp.broadcast_to(jnp.asarray(f2)[:, None], (wc, 128))
     lane_mod = np.arange(wc) % 3
-    gv = np.zeros((4, wc), np.float32)
+    gv = np.zeros((3, wc), np.float32)
     gv[0] = np.choose(lane_mod, [19595.0, 38470.0, 7471.0])
-    for ch in range(3):
-        gv[1 + ch] = (lane_mod == ch).astype(np.float32)
+    center = (lane_mod == 1).astype(np.float32)
+    gv[1] = center * np.float32(1.0 / 65536.0)
+    gv[2] = center * np.float32(0.5)
     gvb = jnp.asarray(gv)
     out = pl.pallas_call(
         functools.partial(
@@ -325,7 +349,7 @@ def fused_blur_rotate_image(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((wc, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
