@@ -33,10 +33,12 @@ from imagetransformations_tpu.uq.calibration import auroc, youden_threshold
 
 
 def _elastic(x, v, k):
-    alpha, sigma = cr.elastic_pixels(
-        int(x.shape[-3]), int(x.shape[-2]), v[0], v[1]
+    h, w = int(x.shape[-3]), int(x.shape[-2])
+    m = min(h, w)
+    af, sf, aa = v
+    return cr.elastic_transform_affine(
+        x, af * m, max(sf * m, 0.5), aa * m, key=k
     )
-    return cr.elastic_transform(x, alpha, sigma, key=k)
 
 
 #: corruption name -> (fn(images_u8, severity_value, key), [5 severity values]);
@@ -44,31 +46,39 @@ def _elastic(x, v, k):
 #: (attacks/uncertainty/FINAL_cifar_corrupted.py:22-27) — all 15 GENERATED
 #: on device (generator semantics in oracle/corruptions.py).
 CORRUPTIONS: dict[str, tuple[Callable, list]] = {
+    # noise severities are the CIFAR-10-C values — the TransformationPool
+    # lists ([0.08..0.38] etc.) are ~2x stronger and do not match the real
+    # 32x32 data (tests/test_corruption_fidelity.py); the pool variants
+    # remain available as ops (nz.*) with any severity
     "gaussian_noise": (
         lambda x, v, k: nz.gaussian_noise_01(x, v, key=k),
-        [0.08, 0.12, 0.18, 0.26, 0.38],
+        cr.GAUSSIAN_NOISE_SEV,
     ),
     "shot_noise": (
         lambda x, v, k: nz.shot_noise(x, v, key=k),
-        [60.0, 25.0, 12.0, 5.0, 3.0],
+        cr.SHOT_NOISE_SEV,
     ),
     "impulse_noise": (
         lambda x, v, k: nz.impulse_noise(x, v, key=k),
-        [0.03, 0.06, 0.09, 0.17, 0.27],
+        cr.IMPULSE_NOISE_SEV,
     ),
     "defocus_blur": (
-        # TransformationPool defocus: PIL GaussianBlur, bit-exact
-        # (pipenline/cifar_image_transformations.py:72-76)
-        lambda x, v, k: st.pil_gaussian_blur(x, float(v)),
-        [3.0, 4.0, 6.0, 8.0, 10.0],
+        # CIFAR-10-C defocus is the tiny anti-aliased disk PSF; the
+        # TransformationPool defocus (PIL GaussianBlur radius 3-10,
+        # st.pil_gaussian_blur, bit-exact) is a different, far stronger op
+        lambda x, v, k: cr.defocus_blur_disk(x, *v),
+        cr.DEFOCUS_SEV,
     ),
     "glass_blur": (
         lambda x, v, k: cr.glass_blur(x, *v, key=k),
         cr.GLASS_BLUR_SEV,
     ),
     "motion_blur": (
-        lambda x, v, k: st.motion_blur(x, int(v)),
-        [3, 5, 7, 9, 11],
+        # directional line PSF at a random per-image angle (the real data
+        # uses Wand motion_blur); the TransformationPool horizontal 1xk
+        # kernel remains as st.motion_blur
+        lambda x, v, k: cr.motion_blur_directional(x, int(v[0]), float(v[1]), key=k),
+        cr.MOTION_SEV,
     ),
     "zoom_blur": (
         lambda x, v, k: cr.zoom_blur(x, float(v)),
@@ -86,17 +96,20 @@ CORRUPTIONS: dict[str, tuple[Callable, list]] = {
         lambda x, v, k: cr.fog(x, *v, key=k),
         cr.FOG_SEV,
     ),
+    # HSV-value brightness and mean-preserving contrast (the CIFAR-10-C
+    # recipes); PIL-multiply brightness / convertScaleAbs contrast remain
+    # the apply_all ops (ew.apply_brightness / ew.apply_contrast)
     "brightness": (
-        lambda x, v, k: ew.apply_brightness(x, float(v)),
-        [0.1, 0.2, 0.3, 0.4, 0.5],
+        lambda x, v, k: cr.brightness_hsv(x, float(v)),
+        cr.BRIGHTNESS_SEV,
     ),
     "contrast": (
-        lambda x, v, k: ew.apply_contrast(x, float(v)),
-        [0.75, 0.6, 0.45, 0.3, 0.15],
+        lambda x, v, k: cr.contrast_meanpreserve(x, float(v)),
+        cr.CONTRAST_SEV,
     ),
     "elastic_transform": (
         _elastic,
-        cr.ELASTIC_SEV,
+        cr.ELASTIC_AFFINE_SEV,
     ),
     "pixelate": (
         lambda x, v, k: cr.pixelate(x, float(v)),

@@ -100,20 +100,51 @@ def _u8(x01: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------- zoom blur
 
 
+def clipped_zoom_coords(size: int, factor: float) -> np.ndarray:
+    """Hendrycks clipped_zoom source coordinates along one axis: integer
+    center-crop ceil(size/z), scipy order-1 (align-corners) upscale to
+    round(crop*z), center-trim back to size. The integer crop/trim offsets
+    give each factor a distinct sub-pixel shift — the real zoom-blur data's
+    residual is ~2x a center-fixed zoom's because of exactly this."""
+    if factor <= 1.0:
+        return np.arange(size, dtype=F32)
+    cs = int(np.ceil(size / factor))
+    top = (size - cs) // 2
+    os_ = int(round(cs * factor))
+    trim = (os_ - size) // 2
+    scale = F32((cs - 1) / max(os_ - 1, 1))
+    return (F32(top) + (np.arange(size, dtype=F32) + F32(trim)) * scale).astype(F32)
+
+
+def clipped_zoom_f32(img_f: np.ndarray, factor: float) -> np.ndarray:
+    """Hendrycks clipped_zoom (scizoom order=1 on an integer center crop)."""
+    h, w = img_f.shape[:2]
+    if factor <= 1.0:
+        return img_f.astype(F32)
+    ys = clipped_zoom_coords(h, factor)
+    xs = clipped_zoom_coords(w, factor)
+    yy = np.broadcast_to(ys[:, None], (h, w))
+    xx = np.broadcast_to(xs[None, :], (h, w))
+    return _sample_bilinear_clamped(img_f, yy, xx)
+
+
 def zoom_blur(img_u8: np.ndarray, max_zoom: float, step: float = 0.01) -> np.ndarray:
-    """Multi-scale zoom AVERAGE: mean of the image and its center zooms at
-    factors arange(1, max_zoom, step) — the defining recipe of zoom blur."""
+    """Multi-scale zoom AVERAGE: mean of the image and its clipped zooms at
+    factors arange(1, max_zoom, step) — the CIFAR-10-C recipe (identity
+    included in the factor list, so the clean image is counted twice)."""
     x = img_u8.astype(F32)
     zooms = zoom_factors(max_zoom, step)
     acc = x.copy()
     for z in zooms:
-        acc += bilinear_zoom_f32(x, float(z))
+        acc += clipped_zoom_f32(x, float(z))
     out = acc / F32(len(zooms) + 1)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def zoom_factors(max_zoom: float, step: float = 0.01) -> np.ndarray:
-    return np.round(np.arange(1.0 + step, max_zoom + 1e-9, step), 6)
+    """arange(1, max_zoom, step): INCLUDES 1.0, EXCLUDES max_zoom (the
+    Hendrycks factor list; z=1 is the identity)."""
+    return np.round(np.arange(1.0, max_zoom - 1e-9, step), 6)
 
 
 # ------------------------------------------------------------- glass blur
@@ -202,9 +233,11 @@ def fog(img_u8: np.ndarray, strength: float, wibbledecay: float, draws: np.ndarr
 def frost_texture(u_seed: np.ndarray, u_amp: np.ndarray, g_noise: np.ndarray) -> np.ndarray:
     """Procedural frost: sparse crystal seeds -> Gaussian halos + smoothed
     backdrop noise. u_seed/u_amp: uniform[0,1) [H,W]; g_noise: randn [H,W]."""
-    seeds = np.where(u_seed > F32(0.97), F32(0.5) + F32(0.5) * u_amp, F32(0.0)).astype(F32)
-    halos = gauss_blur_sigma(seeds, 1.2) * F32(12.0)
-    backdrop = gauss_blur_sigma(g_noise.astype(F32), 2.0) * F32(1.5) + F32(0.35)
+    # calibrated against the real CIFAR-10-C severity-1 frost samples
+    # (tools/corruption_fidelity.py): resid ~10, hf ~1.0, mean +31 at 0.2
+    seeds = np.where(u_seed > F32(0.98), F32(0.5) + F32(0.5) * u_amp, F32(0.0)).astype(F32)
+    halos = gauss_blur_sigma(seeds, 1.2) * F32(6.0)
+    backdrop = gauss_blur_sigma(g_noise.astype(F32), 2.0) * F32(0.9) + F32(0.55)
     return np.clip(halos + backdrop, 0.0, 1.0).astype(F32)
 
 
@@ -235,7 +268,7 @@ def snow(
     x01 = img_u8.astype(F32) / F32(255.0)
     layer = (g_noise.astype(F32) * F32(scale) + F32(loc)).astype(F32)
     if zoom > 1.0:
-        layer = bilinear_zoom_f32(layer, float(zoom))
+        layer = clipped_zoom_f32(layer, float(zoom))
     layer = np.where(layer < F32(thresh), F32(0.0), layer)
     k = motion_kernel(mb_radius, mb_sigma, angle_deg)
     layer = _conv2d_same(layer, k)
@@ -449,4 +482,164 @@ def jpeg_compression(img_u8: np.ndarray, quality: int) -> np.ndarray:
     go = yr - F32(0.344136) * (cbu - F32(128.0)) - F32(0.714136) * (cru - F32(128.0))
     bo = yr + F32(1.772) * (cbu - F32(128.0))
     out = np.stack([ro, go, bo], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------- photometric (CIFAR-10-C exact)
+
+
+def contrast_meanpreserve(img_u8: np.ndarray, c: float) -> np.ndarray:
+    """CIFAR-10-C contrast: pull toward the per-channel image mean.
+
+    Hendrycks' recipe is ``clip((x - mean) * c + mean)`` with per-channel
+    means over the image — unlike the reference's transformation.py contrast
+    (convertScaleAbs, x*c, which darkens). Validated against the real
+    severity-1 samples: mean shift ~0, residual std = (1-c)*std(x).
+    """
+    x01 = img_u8.astype(F32) / F32(255.0)
+    means = x01.mean(axis=(0, 1), keepdims=True).astype(F32)
+    return _u8(np.clip((x01 - means) * F32(c) + means, 0.0, 1.0))
+
+
+def brightness_hsv(img_u8: np.ndarray, c: float) -> np.ndarray:
+    """CIFAR-10-C brightness: add ``c`` to the HSV value channel.
+
+    Hendrycks converts to HSV, clips V+c to [0,1], and converts back. With
+    H and S fixed, scaling V scales RGB proportionally, so the round-trip
+    collapses to ``rgb * clip(v+c,0,1)/v`` (v = max(rgb); v=0 pixels become
+    the gray (c,c,c)) — no actual HSV conversion needed.
+    """
+    x01 = img_u8.astype(F32) / F32(255.0)
+    v = x01.max(axis=-1, keepdims=True)
+    v2 = np.clip(v + F32(c), 0.0, 1.0)
+    scaled = np.where(v > 0, x01 * (v2 / np.maximum(v, F32(1e-12))), v2)
+    return _u8(np.clip(scaled, 0.0, 1.0))
+
+
+# ---------------------------------------------- defocus (disk PSF, CIFAR-10-C)
+
+
+def disk_kernel(radius: float, alias_blur: float) -> np.ndarray:
+    """Hendrycks' disk(): anti-aliased disk PSF on a 17x17 grid (radius <= 8),
+    alias-blurred with cv2.GaussianBlur(ksize=(3,3), sigmaX=alias_blur)."""
+    from imagetransformations_tpu.oracle.stencil import gaussian_taps
+
+    L = np.arange(-8, 8 + 1)
+    X, Y = np.meshgrid(L, L)
+    disk = ((X**2 + Y**2) <= radius**2).astype(F32)
+    disk /= disk.sum()
+    taps = gaussian_taps(3, float(alias_blur)).astype(F32)
+    # cv2.GaussianBlur separable conv, BORDER_REFLECT_101 (irrelevant here:
+    # the disk is centered and far from the border)
+    p = np.pad(disk, ((1, 1), (0, 0)), mode="reflect")
+    disk = taps[0] * p[:-2] + taps[1] * p[1:-1] + taps[2] * p[2:]
+    p = np.pad(disk, ((0, 0), (1, 1)), mode="reflect")
+    return (taps[0] * p[:, :-2] + taps[1] * p[:, 1:-1] + taps[2] * p[:, 2:]).astype(F32)
+
+
+def defocus_blur_disk(img_u8: np.ndarray, radius: float, alias_blur: float) -> np.ndarray:
+    """CIFAR-10-C defocus: per-channel filter2D with the disk PSF,
+    BORDER_REFLECT_101 (cv2 default), on [0,1] floats."""
+    k = disk_kernel(radius, alias_blur)
+    r = k.shape[0] // 2
+    x01 = img_u8.astype(F32) / F32(255.0)
+    p = np.pad(x01, ((r, r), (r, r), (0, 0)), mode="reflect")
+    out = np.zeros_like(x01)
+    for i in range(k.shape[0]):
+        for j in range(k.shape[1]):
+            out += k[i, j] * p[i : i + x01.shape[0], j : j + x01.shape[1]]
+    return _u8(np.clip(out, 0.0, 1.0))
+
+
+# ---------------------------------------------- motion blur (directional PSF)
+
+
+def motion_blur_directional(
+    img_u8: np.ndarray, radius: int, sigma: float, angle_deg: float
+) -> np.ndarray:
+    """CIFAR-10-C-style motion blur: line PSF at a random angle (the real
+    generator draws U(-45, 45) per image via Wand), reflect-101 border."""
+    k = motion_kernel(radius, sigma, angle_deg)
+    r = k.shape[0] // 2
+    x01 = img_u8.astype(F32) / F32(255.0)
+    p = np.pad(x01, ((r, r), (r, r), (0, 0)), mode="reflect")
+    out = np.zeros_like(x01)
+    for i in range(k.shape[0]):
+        for j in range(k.shape[1]):
+            out += k[i, j] * p[i : i + x01.shape[0], j : j + x01.shape[1]]
+    return _u8(np.clip(out, 0.0, 1.0))
+
+
+# ---------------------------------------------- elastic (affine + smooth field)
+
+
+def affine_from_points(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Exact 2x3 affine mapping the 3 ``src`` points onto ``dst``
+    (cv2.getAffineTransform semantics), float64 solve."""
+    a = np.zeros((6, 6))
+    b = np.zeros(6)
+    for i in range(3):
+        x, y = src[i]
+        a[2 * i, 0:3] = (x, y, 1.0)
+        a[2 * i + 1, 3:6] = (x, y, 1.0)
+        b[2 * i] = dst[i][0]
+        b[2 * i + 1] = dst[i][1]
+    m = np.linalg.solve(a, b)
+    return m.reshape(2, 3)
+
+
+def elastic_points(h: int, w: int) -> np.ndarray:
+    """Hendrycks' anchor triangle: center +- square_size (min(h,w)//3)."""
+    cx, cy = np.float32(w // 2), np.float32(h // 2)
+    s = np.float32(min(h, w) // 3)
+    return np.asarray(
+        [[cx + s, cy + s], [cx + s, cy - s], [cx - s, cy - s]], np.float32
+    )
+
+
+def elastic_transform_affine(
+    img_u8: np.ndarray,
+    alpha: float,
+    sigma: float,
+    disp: np.ndarray,
+    jitter: np.ndarray,
+) -> np.ndarray:
+    """CIFAR-10-C elastic: random affine (anchor-triangle corner jitter,
+    bilinear, reflect-101 border) THEN bilinear resample along a
+    Gaussian-smoothed displacement field (scipy 'reflect' = symmetric
+    border). ``disp``: [H,W,2] U(-1,1); ``jitter``: [3,2] U(-aa, aa) px.
+
+    Severity 1 of the real data is pure affine (alpha = 0); the affine
+    component dominates the measured residual (std ~30 on real samples).
+    """
+    h, w = img_u8.shape[:2]
+    pts1 = elastic_points(h, w)
+    pts2 = pts1 + jitter.astype(np.float32)
+    # warpAffine samples src = M_inv(dst); build the dst->src map directly
+    minv = affine_from_points(pts2, pts1).astype(F32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(F32)
+    sx = minv[0, 0] * xx + minv[0, 1] * yy + minv[0, 2]
+    sy = minv[1, 0] * xx + minv[1, 1] * yy + minv[1, 2]
+    # reflect-101 fold: ... d c b | a b c d | c b a (no edge repeat)
+    def fold101(c, size):
+        if size == 1:
+            return np.zeros_like(c)
+        period = 2 * (size - 1)
+        c = np.abs(c) % period
+        return np.minimum(c, period - c)
+
+    x01 = img_u8.astype(F32)
+    aff = _sample_bilinear_clamped(x01, fold101(sy, h), fold101(sx, w))
+    if alpha > 0:
+        dy = gauss_blur_sigma(disp[..., 0].astype(F32), sigma) * F32(alpha)
+        dx = gauss_blur_sigma(disp[..., 1].astype(F32), sigma) * F32(alpha)
+        # scipy map_coordinates mode='reflect' = symmetric (edge repeated)
+        def foldsym(c, size):
+            period = 2 * size
+            c = np.abs(c) % period
+            return np.minimum(c, period - 1 - c)
+
+        out = _sample_bilinear_clamped(aff, foldsym(yy + dy, h), foldsym(xx + dx, w))
+    else:
+        out = aff
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)

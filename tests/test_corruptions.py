@@ -193,3 +193,130 @@ def test_all_corruptions_run_batched(rng):
             out = corrupt(imgs, name, sev, k)
             assert out.shape == imgs.shape and out.dtype == jnp.uint8, name
             assert not np.array_equal(np.asarray(out), np.asarray(imgs)), (name, sev)
+
+
+# ---------------- round-3 CIFAR-10-C-calibrated generators ----------------
+
+
+def test_contrast_meanpreserve_matches_oracle(rng):
+    imgs = _batch(rng)
+    for c in (0.75, 0.15):
+        out = np.asarray(cr.contrast_meanpreserve(jnp.asarray(imgs), c))
+        ref = np.stack([oc.contrast_meanpreserve(im, c) for im in imgs])
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_contrast_meanpreserve_preserves_mean(rng):
+    imgs = _batch(rng)
+    out = np.asarray(cr.contrast_meanpreserve(jnp.asarray(imgs), 0.3))
+    assert abs(out.mean() - imgs.mean()) < 1.5
+
+
+def test_brightness_hsv_matches_oracle(rng):
+    imgs = _batch(rng)
+    for c in (0.05, 0.3):
+        out = np.asarray(cr.brightness_hsv(jnp.asarray(imgs), c))
+        ref = np.stack([oc.brightness_hsv(im, c) for im in imgs])
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_brightness_hsv_matches_skimage_roundtrip(rng):
+    """The v-scaling shortcut must equal the real HSV round-trip."""
+    sk = pytest.importorskip("skimage.color")
+    img = _batch(rng, n=1)[0]
+    c = 0.2
+    hsv = sk.rgb2hsv(img.astype(np.float64) / 255.0)
+    hsv[..., 2] = np.clip(hsv[..., 2] + c, 0, 1)
+    ref = np.clip(np.rint(np.clip(sk.hsv2rgb(hsv), 0, 1) * 255), 0, 255).astype(np.uint8)
+    out = oc.brightness_hsv(img, c)
+    assert _max_lsb(out, ref) <= 1
+
+
+def test_defocus_disk_matches_oracle(rng):
+    imgs = _batch(rng)
+    for radius, alias in cr.DEFOCUS_SEV[::2]:
+        out = np.asarray(cr.defocus_blur_disk(jnp.asarray(imgs), radius, alias))
+        ref = np.stack([oc.defocus_blur_disk(im, radius, alias) for im in imgs])
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_defocus_disk_matches_cv2(rng):
+    """disk PSF + filter2D reflect-101 border vs the real cv2 pipeline."""
+    cv2 = pytest.importorskip("cv2")
+    img = _batch(rng, n=1)[0]
+    radius, alias = 1.5, 0.1
+    L = np.arange(-8, 8 + 1)
+    X, Y = np.meshgrid(L, L)
+    disk = np.array((X**2 + Y**2) <= radius**2, dtype=np.float32)
+    disk /= disk.sum()
+    disk = cv2.GaussianBlur(disk, ksize=(3, 3), sigmaX=alias)
+    x = img.astype(np.float32) / 255.0
+    ch = [cv2.filter2D(x[:, :, d], -1, disk) for d in range(3)]
+    ref = np.clip(np.rint(np.clip(np.stack(ch, -1), 0, 1) * 255), 0, 255).astype(np.uint8)
+    out = oc.defocus_blur_disk(img, radius, alias)
+    assert _max_lsb(out, ref) <= 1
+
+
+def test_motion_blur_directional_matches_oracle(rng):
+    imgs = _batch(rng)
+    angles = np.asarray([-30.0, 0.0, 42.0], np.float32)
+    radius, sigma = cr.MOTION_SEV[1]
+    out = np.asarray(
+        cr.motion_blur_directional(
+            jnp.asarray(imgs), radius, sigma, angles_deg=jnp.asarray(angles)
+        )
+    )
+    ref = np.stack(
+        [oc.motion_blur_directional(imgs[i], radius, sigma, float(angles[i])) for i in range(3)]
+    )
+    assert _max_lsb(out, ref) <= 1
+
+
+def test_elastic_affine_matches_oracle(rng):
+    imgs = _batch(rng)
+    for sev in (1, 4):
+        af, sf, aa = cr.ELASTIC_AFFINE_SEV[sev - 1]
+        m = 32
+        alpha, sigma, alpha_affine = af * m, max(sf * m, 0.5), aa * m
+        jitter = rng.uniform(-alpha_affine, alpha_affine, (3, 3, 2)).astype(np.float32)
+        disp = rng.uniform(-1, 1, (3, 32, 32, 2)).astype(np.float32)
+        out = np.asarray(
+            cr.elastic_transform_affine(
+                jnp.asarray(imgs), alpha, sigma, alpha_affine,
+                disp=jnp.asarray(disp), jitter=jnp.asarray(jitter),
+            )
+        )
+        ref = np.stack(
+            [
+                oc.elastic_transform_affine(imgs[i], alpha, sigma, disp[i], jitter[i])
+                for i in range(3)
+            ]
+        )
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_elastic_affine_sev1_is_pure_affine(rng):
+    """Severity-1 CIFAR-10-C elastic is corner-jitter affine only — a zero
+    jitter must be the identity."""
+    imgs = _batch(rng, n=1)
+    out = np.asarray(
+        cr.elastic_transform_affine(
+            jnp.asarray(imgs), 0.0, 1.0, 2.56, jitter=jnp.zeros((1, 3, 2)),
+        )
+    )
+    np.testing.assert_array_equal(out, imgs)
+
+
+def test_clipped_zoom_matches_scipy(rng):
+    """oracle clipped_zoom must reproduce Hendrycks' scizoom-based crop."""
+    zoom = pytest.importorskip("scipy.ndimage").zoom
+    img = _batch(rng, n=1)[0].astype(np.float32)
+    for z in (1.11, 1.25):
+        h = img.shape[0]
+        ch = int(np.ceil(h / z))
+        top = (h - ch) // 2
+        sci = zoom(img[top:top + ch, top:top + ch], (z, z, 1), order=1)
+        trim = (sci.shape[0] - h) // 2
+        ref = sci[trim:trim + h, trim:trim + h]
+        out = oc.clipped_zoom_f32(img, z)
+        assert np.abs(out - ref).max() < 0.5
