@@ -50,12 +50,15 @@ FROST_SEV = [(1.0, 0.2), (1.0, 0.3), (0.9, 0.4), (0.85, 0.4), (0.75, 0.45)]
 #: calibrated against the real CIFAR-10-C severity-1 samples (residual std
 #: ~12, HF ratio ~1.2, mean shift ~+11 — sparse bright flakes), higher
 #: severities follow the published density/blur/graying progression
+#: progression tuned so pretrained-ResNet-56 agreement falls monotonically
+#: (~0.71/0.52/0.43/0.32/0.26 on natural 32x32 bases); zoom is held at 1.0 —
+#: the clipped-zoom layer dilution is non-monotonic in flake mass
 SNOW_SEV = [
     (0.1, 0.33, 1.0, 0.85, 6, 2.5, 0.96),
-    (0.1, 0.35, 1.0, 0.8, 8, 3.0, 0.92),
-    (0.15, 0.4, 1.25, 0.75, 10, 4.0, 0.9),
-    (0.25, 0.45, 1.5, 0.7, 12, 6.0, 0.85),
-    (0.3, 0.5, 1.75, 0.65, 14, 12.0, 0.8),
+    (0.12, 0.36, 1.0, 0.82, 7, 2.5, 0.94),
+    (0.15, 0.4, 1.0, 0.75, 8, 3.0, 0.92),
+    (0.18, 0.45, 1.0, 0.72, 9, 3.5, 0.9),
+    (0.25, 0.55, 1.0, 0.65, 10, 5.0, 0.85),
 ]
 #: (alpha_frac, sigma_frac) of min(H, W) — legacy displacement-only recipe
 ELASTIC_SEV = [(0.05, 0.22), (0.065, 0.2), (0.085, 0.17), (0.1, 0.14), (0.12, 0.11)]
