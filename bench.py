@@ -38,8 +38,10 @@ TARGET_GPIX = 10.0
 
 
 def parity_check() -> float:
-    """Fast chain (Pallas blur -> 3-shear rotate -> grayscale) vs the CPU
-    oracle of the SAME pipeline; max |err| LSB (gate: <= 1)."""
+    """Fast chain (Pallas blur -> 3-shear rotate -> grayscale, f32
+    streaming with ONE final quantization) vs the CPU oracle of the SAME
+    pipeline (oracle/fast_warp.fused_stream_chain, numpy f32 mirroring
+    every kernel op); max |err| LSB (gate: <= 1)."""
     from imagetransformations_tpu.oracle import fast_warp as ofw
 
     rng = np.random.default_rng(0)
@@ -53,10 +55,20 @@ def parity_check() -> float:
     ]
     fn = build_chain_fn(chain)  # the timed fast path itself
     out = np.asarray(fn(jnp.asarray(imgs)))
-    blurred = np.stack([ost.gaussian_blur(im, RADIUS) for im in imgs])
-    rotated = ofw.rotate_3shear(blurred, ANGLE)
-    ref = np.stack([oe.grayscale_rgb(im) for im in rotated])
+    ref = ofw.fused_stream_chain(imgs, RADIUS, ANGLE, grayscale_out=True)
     err_fast = int(np.abs(out.astype(int) - ref.astype(int)).max())
+    # the per-op-quantized kernel (stream=False) keeps its own ZERO-error
+    # gate vs the sequential oracle chain (the reference's image-at-a-time
+    # semantics) — bench_kernels.py covers it on every run; also check here
+    from imagetransformations_tpu.ops.pallas.megakernel import fused_blur_rotate_image
+
+    outq = np.asarray(
+        fused_blur_rotate_image(jnp.asarray(imgs), RADIUS, ANGLE, grayscale_out=True)
+    )
+    blurred = np.stack([ost.gaussian_blur(im, RADIUS) for im in imgs])
+    refq = np.stack([oe.grayscale_rgb(im) for im in ofw.rotate_3shear(blurred, ANGLE)])
+    err_q = int(np.abs(outq.astype(int) - refq.astype(int)).max())
+    assert err_q <= 1, f"per-op-quantized kernel parity {err_q} LSB"
     # the strict PIL-parity path: NEAREST rotation uses f32 coords on device,
     # which flips floor() on measure-zero boundary pixels vs PIL's f64 — gate
     # on the FRACTION of differing pixels instead of max error there

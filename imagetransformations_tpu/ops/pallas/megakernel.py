@@ -128,17 +128,19 @@ def _quant_trunc(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.trunc(x)
 
 
-def _shear_pass(v, runs, f_col, lane_unit):
+def _shear_pass(v, runs, f_col, lane_unit, quantize=True):
     """One X-style shear on a margin-padded slab value.
 
     v: [rows, ls] f32, fill margins in place. out[r, l] =
     lerp(v[r, l + k_r*lane_unit], v[r, l + (k_r+1)*lane_unit], f_r),
-    truncation-quantized. Integer shifts are static per row segment.
+    truncation-quantized unless ``quantize=False`` (f32 streaming mode).
+    Integer shifts are static per row segment.
     """
     nbr = _roll_left(v, lane_unit)
     ler = v + f_col * (nbr - v)
     parts = [_roll_left(ler[r0:r1], k * lane_unit) for r0, r1, k in runs]
-    return _quant_trunc(jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
+    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return _quant_trunc(out) if quantize else out
 
 
 def _mega_kernel(
@@ -160,6 +162,7 @@ def _mega_kernel(
     fill: int,
     grayscale_out: bool,
     identity_rot: bool,
+    stream: bool,
 ):
     fillf = float(fill)
     w = wc // c
@@ -205,9 +208,11 @@ def _mega_kernel(
         )  # [(w + 2p) * c, h]
         acch = tap_sum(acctp, c)  # [wc, h]
         # positive taps summing to 1: a convex combination of [0,255] values
-        # needs no clip after rint
+        # needs no clip after rint. Stream mode keeps f32 (one quantization
+        # at the very end), saving a full VPU pass here and one per shear.
+        maybe_rint = (lambda v: v) if stream else jnp.rint
         if identity_rot:
-            content = jnp.rint(jnp.swapaxes(acch, 0, 1))
+            content = maybe_rint(jnp.swapaxes(acch, 0, 1))
         else:
             # fold pass-1's fill margins into the blur-output transpose:
             # concat the (small) fill block on SUBLANES pre-transpose so the
@@ -217,7 +222,7 @@ def _mega_kernel(
             accw = jnp.concatenate(
                 [acch, jnp.full((ls1 - wc, h), fillf)], axis=0
             )  # [ls1, h]
-            content = jnp.rint(jnp.swapaxes(accw, 0, 1))  # [h, ls1]
+            content = maybe_rint(jnp.swapaxes(accw, 0, 1))  # [h, ls1]
     else:
         content = xf
 
@@ -238,6 +243,8 @@ def _mega_kernel(
         out = content
         if grayscale_out:
             out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :])
+        elif stream:
+            out = jnp.rint(out)  # stream blur-only: single final quantize
         o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
         return
 
@@ -257,19 +264,25 @@ def _mega_kernel(
 
     # ---- pass 1: shear X ---------------------------------------------------
     c1 = content if content.shape[1] == ls1 else with_margins(content, 0, ls1)
-    s1 = _shear_pass(c1, runs1, f1c, c)
+    s1 = _shear_pass(c1, runs1, f1c, c, quantize=not stream)
 
     # ---- pass 2: shear Y on the in-VMEM transpose --------------------------
     s1w = jnp.concatenate(
         [s1[:, :wc], jnp.full((ls2 - h, wc), fillf)], axis=0
     )  # [ls2, wc]
-    s2 = _shear_pass(jnp.swapaxes(s1w, 0, 1), runs2, f2c, 1)  # [wc, ls2]
+    s2 = _shear_pass(jnp.swapaxes(s1w, 0, 1), runs2, f2c, 1, quantize=not stream)
 
     # ---- pass 3: shear X, fused grayscale, u8 store -------------------------
     s2w = jnp.concatenate(
         [s2[:, :h], jnp.full((ls1 - wc, h), fillf)], axis=0
     )  # [ls1, h]
-    s3 = _shear_pass(jnp.swapaxes(s2w, 0, 1), runs1, f1c, c)
+    # stream mode: grayscale's final floor IS the single quantization (the
+    # L24 luma of f32 values stays < 2^24, exact); without grayscale the
+    # pass-3 trunc is the single quantization
+    s3 = _shear_pass(
+        jnp.swapaxes(s2w, 0, 1), runs1, f1c, c,
+        quantize=(not stream) or (not grayscale_out),
+    )
     out = s3[:, :wc]
     if grayscale_out:
         out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :])
@@ -277,7 +290,7 @@ def _mega_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "angle_deg", "fill", "grayscale_out")
+    jax.jit, static_argnames=("radius", "angle_deg", "fill", "grayscale_out", "stream")
 )
 def fused_blur_rotate_image(
     img: jnp.ndarray,
@@ -285,11 +298,17 @@ def fused_blur_rotate_image(
     angle_deg: float,
     fill: int = 0,
     grayscale_out: bool = False,
+    stream: bool = False,
 ) -> jnp.ndarray:
     """Fused blur -> 3-shear rotation (-> grayscale), one image per grid step,
     whole chain VMEM-resident. NHWC uint8 -> NHWC uint8.
 
-    Bit-identical to gaussian_blur -> oracle rotate_3shear (-> grayscale).
+    ``stream=False``: per-op uint8 quantization — bit-identical to
+    gaussian_blur -> oracle rotate_3shear (-> grayscale), the reference's
+    image-at-a-time semantics. ``stream=True``: f32 streaming with ONE
+    final quantization (the chain contract of build_chain_fn's fast mode)
+    — higher quality (no intermediate rounding) and ~4 fewer VPU passes;
+    bit-identical to oracle/fast_warp.fused_stream_chain.
     Works for any H, W (pads internally); |angle_deg| <= 45.
     """
     n, h, w, c = img.shape
@@ -317,9 +336,11 @@ def fused_blur_rotate_image(
             # reflect-101 slices need dim > p+1; tiny images blur in XLA
             from imagetransformations_tpu.ops.stencil import gaussian_blur
 
+            # (tiny-image fallback blurs via the quantized XLA op, so the
+            # blur stage is u8-quantized even in stream mode there)
             return fused_blur_rotate_image(
                 gaussian_blur(img, float(radius)), 0.0, angle_deg,
-                fill=fill, grayscale_out=grayscale_out,
+                fill=fill, grayscale_out=grayscale_out, stream=stream,
             )
     else:
         taps, p = (1.0,), 0
@@ -341,6 +362,7 @@ def fused_blur_rotate_image(
             taps=taps, runs1=runs1, runs2=runs2,
             fill=fill, grayscale_out=grayscale_out,
             identity_rot=(float(angle_deg) == 0.0),
+            stream=stream,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
         grid=(n,),

