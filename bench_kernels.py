@@ -141,6 +141,24 @@ def main() -> None:
                                     max_shift_px=20),
                log_ref, max_lsb=0)
 
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_batched,
+    )
+
+    tangles = np.asarray([9.0, -21.0], np.float32)
+    tref = np.concatenate(
+        [
+            ofw.fused_stream_chain(imgs[i : i + 1], RADIUS, float(a), grayscale_out=True)
+            for i, a in enumerate(tangles)
+        ]
+    )
+    # device f32 shift computation can flip floor() at exact boundaries
+    # (<=1 LSB through the continuous bilinear chain)
+    ok &= gate("fused_blur_rotate_batched",
+               fused_blur_rotate_batched(x, RADIUS, jnp.asarray(tangles),
+                                         grayscale_out=True, stream=True),
+               tref, max_lsb=1, max_flip=0.01)
+
     grid = (0.9, 1.0, 1.1, 1.2, 1.3, 1.4)
     svals = np.asarray([1.3, 0.9], np.float32)
     scale_ref = np.stack(

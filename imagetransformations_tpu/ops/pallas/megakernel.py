@@ -289,6 +289,215 @@ def _mega_kernel(
     o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _route_rows(v, amt, unit, nbits):
+    """out[r, l] = v[r, l + (amt_r)*unit] (cyclic) where ``amt`` [rows, 1]
+    is a NON-NEGATIVE per-row lane shift (< 2**nbits), constant along
+    lanes: log2 rolls + per-row selects (rotate_gather's routing recipe —
+    masks broadcast along the routed axis, so they never compound)."""
+    for bit in range(nbits):
+        rolled = _roll_left(v, (1 << bit) * unit)
+        v = jnp.where(((amt >> bit) & 1) == 1, rolled, v)
+    return v
+
+
+def _shear_pass_traced(v, kcol, f_col, lane_unit, bias, nbits, quantize):
+    """Per-image traced-shift shear: same lerp as _shear_pass, but the
+    integer row shifts ``kcol`` [rows, 1] (i32, may be negative) are
+    runtime values — applied with a static -bias pre-roll + log routing
+    instead of static per-run rolls. Costs ~nbits extra roll+select pairs
+    per pass vs the static kernel."""
+    nbr = _roll_left(v, lane_unit)
+    ler = v + f_col * (nbr - v)
+    ler = _roll_left(ler, -bias * lane_unit)
+    out = _route_rows(ler, kcol + bias, lane_unit, nbits)
+    return _quant_trunc(out) if quantize else out
+
+
+def _mega_traced_kernel(
+    x_ref,
+    k1_ref,  # [1, h, 128] i32 pass-1/3 integer shifts (lane col 0)
+    f1_ref,  # [1, h, 128] f32 pass-1/3 lerp fracs
+    k2_ref,  # [1, wc, 128] i32 pass-2 shifts (per-pixel-row, c-replicated)
+    f2_ref,  # [1, wc, 128] f32 pass-2 fracs
+    g_ref,  # [3, wc] f32 grayscale constants (see _grayscale_rows)
+    o_ref,
+    *,
+    h: int,
+    wc: int,
+    c: int,
+    ls1: int,
+    ls2: int,
+    taps: tuple[float, ...],
+    bias1: int,
+    nbits1: int,
+    bias2: int,
+    nbits2: int,
+    fill: int,
+    grayscale_out: bool,
+    stream: bool,
+):
+    """Traced-per-image-angle variant of _mega_kernel: identical blur /
+    margin / transpose structure, shear shifts from per-image inputs."""
+    fillf = float(fill)
+    w = wc // c
+    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
+
+    p = (len(taps) - 1) // 2
+    if p:
+        xpadv = jnp.concatenate(
+            [xf[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xf]
+            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            axis=0,
+        )
+
+        def tap_sum(src, unit):
+            def at(t):
+                return src[t * unit : t * unit + (h if unit == 1 else wc), :]
+
+            acc = taps[p] * at(p)
+            for t in range(p):
+                acc = acc + taps[t] * (at(t) + at(2 * p - t))
+            return acc
+
+        accv = tap_sum(xpadv, 1)
+        acct = jnp.swapaxes(accv, 0, 1)
+        acctp = jnp.concatenate(
+            [acct[c * i : c * i + c, :] for i in range(p, 0, -1)]
+            + [acct]
+            + [acct[c * (w - 2 - i) : c * (w - 2 - i) + c, :] for i in range(p)],
+            axis=0,
+        )
+        acch = tap_sum(acctp, c)  # [wc, h]
+        maybe_rint = (lambda x: x) if stream else jnp.rint
+        accw = jnp.concatenate([acch, jnp.full((ls1 - wc, h), fillf)], axis=0)
+        content = maybe_rint(jnp.swapaxes(accw, 0, 1))  # [h, ls1]
+    else:
+        content = jnp.concatenate(
+            [xf, jnp.full((h, ls1 - wc), fillf)], axis=1
+        )
+
+    k1c = k1_ref[0, :, :1]
+    f1c = f1_ref[0, :, :1]
+    k2c = k2_ref[0, :, :1]
+    f2c = f2_ref[0, :, :1]
+
+    s1 = _shear_pass_traced(content, k1c, f1c, c, bias1, nbits1, not stream)
+    s1w = jnp.concatenate([s1[:, :wc], jnp.full((ls2 - h, wc), fillf)], axis=0)
+    s2 = _shear_pass_traced(
+        jnp.swapaxes(s1w, 0, 1), k2c, f2c, 1, bias2, nbits2, not stream
+    )
+    s2w = jnp.concatenate([s2[:, :h], jnp.full((ls1 - wc, h), fillf)], axis=0)
+    s3 = _shear_pass_traced(
+        jnp.swapaxes(s2w, 0, 1), k1c, f1c, c, bias1, nbits1,
+        (not stream) or (not grayscale_out),
+    )
+    out = s3[:, :wc]
+    if grayscale_out:
+        out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :])
+    o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "fill", "grayscale_out", "stream", "max_angle_deg"),
+)
+def fused_blur_rotate_batched(
+    img: jnp.ndarray,
+    radius: float,
+    angles_deg: jnp.ndarray,
+    fill: int = 0,
+    grayscale_out: bool = False,
+    stream: bool = True,
+    max_angle_deg: float = 22.5,
+) -> jnp.ndarray:
+    """Fused blur -> 3-shear rotation (-> grayscale) with PER-IMAGE TRACED
+    angles: ONE executable for any angle vector with |angle| <=
+    max_angle_deg (static routing budget; the reference's grids sweep
+    +-22.5, transformation.py:97). One u8 HBM read + one write per image,
+    whole chain VMEM-resident — replaces the blur + rotate_3shear_batched
+    two-kernel path (each pass of which round-trips HBM).
+
+    Semantics match fused_blur_rotate_image (stream or per-op quantized);
+    costs ~2x the static-angle kernel (log-routed shifts: ~log2(shift
+    range) roll+select pairs per shear instead of static run rolls).
+    """
+    n, h, w, c = img.shape
+    wc = w * c
+    t = jnp.deg2rad(-jnp.asarray(angles_deg, jnp.float32)).reshape(-1)
+    t = jnp.broadcast_to(t, (n,))
+    a = -jnp.tan(t / 2.0)
+    b = jnp.sin(t)
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - w / 2.0
+    sx = a[:, None] * ys[None, :]  # [N, H]
+    sy = b[:, None] * xs[None, :]  # [N, W]
+    k1 = jnp.floor(sx)
+    f1 = sx - k1
+    k2px = jnp.floor(sy)
+    f2 = jnp.repeat(sy - k2px, c, axis=1)
+    k2 = jnp.repeat(k2px.astype(jnp.int32), c, axis=1)
+
+    tm = math.radians(max_angle_deg)
+    px = int(math.ceil(math.tan(tm / 2.0) * (h / 2.0 + 0.5))) + 2
+    py = int(math.ceil(math.sin(tm) * (w / 2.0 + 0.5))) + 2
+    ls1 = _round_up(wc + (px + 2) * c, 128)
+    ls2 = _round_up(h + py + 2, 128)
+    bias1, bias2 = px, py
+    nbits1 = max(int(math.ceil(math.log2(2 * px + 1))), 1)
+    nbits2 = max(int(math.ceil(math.log2(2 * py + 1))), 1)
+
+    if radius > 0:
+        ksize = cv2_gaussian_ksize(float(radius))
+        taps = tuple(float(v) for v in gaussian_taps(ksize, float(radius)))
+        p = ksize // 2
+        if h < p + 2 or w < p + 2:
+            from imagetransformations_tpu.ops.stencil import gaussian_blur
+
+            return fused_blur_rotate_batched(
+                gaussian_blur(img, float(radius)), 0.0, angles_deg,
+                fill=fill, grayscale_out=grayscale_out, stream=stream,
+                max_angle_deg=max_angle_deg,
+            )
+    else:
+        taps = (1.0,)
+
+    lane_mod = np.arange(wc) % 3
+    gv = np.zeros((3, wc), np.float32)
+    gv[0] = np.choose(lane_mod, [19595.0, 38470.0, 7471.0])
+    center = (lane_mod == 1).astype(np.float32)
+    gv[1] = center * np.float32(1.0 / 65536.0)
+    gv[2] = center * np.float32(0.5)
+
+    k1b = jnp.broadcast_to(k1.astype(jnp.int32)[:, :, None], (n, h, 128))
+    f1b = jnp.broadcast_to(f1[:, :, None], (n, h, 128))
+    k2b = jnp.broadcast_to(k2[:, :, None], (n, wc, 128))
+    f2b = jnp.broadcast_to(f2[:, :, None], (n, wc, 128))
+    out = pl.pallas_call(
+        functools.partial(
+            _mega_traced_kernel,
+            h=h, wc=wc, c=c, ls1=ls1, ls2=ls2, taps=taps,
+            bias1=bias1, nbits1=nbits1, bias2=bias2, nbits2=nbits2,
+            fill=fill, grayscale_out=grayscale_out, stream=stream,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(img.reshape(n, h, wc), k1b, f1b, k2b, f2b, jnp.asarray(gv))
+    return out.reshape(n, h, w, c)
+
+
 @functools.partial(
     jax.jit, static_argnames=("radius", "angle_deg", "fill", "grayscale_out", "stream")
 )

@@ -21,6 +21,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -111,33 +113,50 @@ def _static(v) -> bool:
     return isinstance(v, (int, float))
 
 
+def _inspectable_angles(v):
+    """Concrete per-image angle array (not an enclosing-jit tracer) with a
+    usable routing bound, else None."""
+    import jax
+
+    if _static(v) or isinstance(v, jax.core.Tracer):
+        return None
+    arr = np.asarray(v)
+    if arr.size == 0 or float(np.abs(arr).max()) > 45.0:
+        return None
+    return arr
+
+
 def _match_mega(chain, i, strict_parity, x):
     """Match a blur / rotation / blur->rotation prefix (each optionally
-    followed by grayscale) for the VMEM-resident mega-kernel.
+    followed by grayscale) for the VMEM-resident mega-kernels.
 
-    Returns (radius, angle, grayscale_out, ops_consumed) or None.
+    Returns (radius, angle_or_angles, grayscale_out, ops_consumed, traced)
+    or None. ``traced=True`` means a per-image angle vector (concrete,
+    bounded) routed to the log-routing kernel variant.
     """
     if strict_parity or x.ndim != 4 or x.dtype != jnp.uint8:
         return None
-    radius, angle = 0.0, 0.0
+    radius, angle, traced = 0.0, 0.0, False
     j = i
     if chain[j].name == "blur" and _static(chain[j].params["radius"]):
         radius = float(chain[j].params["radius"])
         j += 1
-    if (
-        j < len(chain)
-        and chain[j].name == "rotation"
-        and _static(chain[j].params["angle"])
-        and abs(float(chain[j].params["angle"])) <= 45.0
-    ):
-        angle = float(chain[j].params["angle"])
-        j += 1
+    if j < len(chain) and chain[j].name == "rotation":
+        a = chain[j].params["angle"]
+        if _static(a) and abs(float(a)) <= 45.0:
+            angle = float(a)
+            j += 1
+        else:
+            arr = _inspectable_angles(a)
+            if arr is not None:
+                angle, traced = arr, True
+                j += 1
     if j == i:
         return None
     gray = j < len(chain) and chain[j].name == "grayscale" and x.shape[3] == 3
     if gray:
         j += 1
-    return radius, angle, gray, j - i
+    return radius, angle, gray, j - i, traced
 
 
 def build_chain_fn(
@@ -177,14 +196,31 @@ def build_chain_fn(
                     fused_blur_rotate_image,
                 )
 
-                radius, angle, fuse_gray, consumed = mega
+                radius, angle, fuse_gray, consumed, traced = mega
                 # stream=True implements this chain's documented fast-mode
                 # contract (f32 intermediates, ONE final quantization) for
                 # the fused stage: higher quality than per-op rounding and
                 # ~4 fewer VPU passes. Oracle: fast_warp.fused_stream_chain.
-                x = fused_blur_rotate_image(
-                    x, radius, angle, grayscale_out=fuse_gray, stream=True
-                )
+                if traced:
+                    from imagetransformations_tpu.ops.pallas.megakernel import (
+                        fused_blur_rotate_batched,
+                    )
+
+                    # per-image angles: log-routed kernel, one executable
+                    # per routing budget (rounded up to 5-degree steps to
+                    # bound the number of compiled specializations)
+                    bound = min(
+                        45.0, 5.0 * float(np.ceil(np.abs(angle).max() / 5.0))
+                    ) or 5.0
+                    x = fused_blur_rotate_batched(
+                        x, radius, jnp.asarray(angle, jnp.float32),
+                        grayscale_out=fuse_gray, stream=True,
+                        max_angle_deg=bound,
+                    )
+                else:
+                    x = fused_blur_rotate_image(
+                        x, radius, angle, grayscale_out=fuse_gray, stream=True
+                    )
                 i += consumed
             elif (
                 not strict_parity

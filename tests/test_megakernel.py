@@ -156,3 +156,51 @@ def test_chain_multi_affine_run_still_fuses(rng):
     chain = [OpSpec("translation", {"tx": 4}), OpSpec("zoom", {"factor": 1.1})]
     out = np.asarray(build_chain_fn(chain)(jnp.asarray(imgs)))
     assert out.shape == imgs.shape and out.dtype == np.uint8
+
+
+def test_traced_angle_megakernel_matches_static(rng):
+    """fused_blur_rotate_batched (per-image log-routed shifts) must match
+    the static-angle kernel per image (device f32 shift computation can
+    flip floor() at exact boundaries -> <=1 LSB through the continuous
+    bilinear chain)."""
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_batched,
+    )
+
+    imgs = rng.integers(0, 256, (3, 64, 48, 3), dtype=np.uint8)
+    angles = np.asarray([-15.0, 0.0, 22.4], np.float32)
+    for stream in (True, False):
+        out = np.asarray(
+            fused_blur_rotate_batched(
+                jnp.asarray(imgs), 1.5, jnp.asarray(angles),
+                grayscale_out=True, stream=stream,
+            )
+        )
+        for i, a in enumerate(angles):
+            ref = np.asarray(
+                fused_blur_rotate_image(
+                    jnp.asarray(imgs[i : i + 1]), 1.5, float(a),
+                    grayscale_out=True, stream=stream,
+                )
+            )
+            err = np.abs(out[i : i + 1].astype(int) - ref.astype(int))
+            assert err.max() <= 1, (stream, a, err.max())
+
+
+def test_chain_routes_traced_angles_to_fused_megakernel(rng):
+    """blur -> per-image-angle rotation -> grayscale fuses into the traced
+    megakernel (one HBM read + write) and matches the stream oracle."""
+    imgs = rng.integers(0, 256, (2, 48, 40, 3), dtype=np.uint8)
+    angles = np.asarray([9.0, -21.0], np.float32)
+    chain = [
+        OpSpec("blur", {"radius": 1.5}),
+        OpSpec("rotation", {"angle": jnp.asarray(angles)}),
+        OpSpec("grayscale"),
+    ]
+    out = np.asarray(build_chain_fn(chain)(jnp.asarray(imgs)))
+    for i, a in enumerate(angles):
+        ref = ofw.fused_stream_chain(
+            imgs[i : i + 1], 1.5, float(a), grayscale_out=True
+        )
+        err = np.abs(out[i : i + 1].astype(int) - ref.astype(int))
+        assert err.max() <= 1, (a, err.max())
