@@ -289,6 +289,86 @@ def _mega_kernel(
     o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _mega_gray1_kernel(
+    x_ref,
+    f1_ref,   # [h, 128] f32 pass-1/3 lerp fracs
+    f2p_ref,  # [w, 128] f32 pass-2 PIXEL lerp fracs (not c-replicated)
+    g_ref,    # [wc, 128] f32: col 0 = L24 weight / 65536 per interleaved row
+    o_ref,
+    *,
+    h: int,
+    wc: int,
+    c: int,
+    lsx: int,  # single-channel pass-1/3 lane width (w + margin, 128-mult)
+    ls2: int,  # pass-2 lane width (h + margin, 128-mult)
+    taps: tuple[float, ...],
+    runs1: tuple[tuple[int, int, int], ...],
+    runs2p: tuple[tuple[int, int, int], ...],
+    fill: int,
+):
+    """Stream-mode blur -> GRAYSCALE -> 3-shear rotate on a SINGLE luma
+    channel. Grayscale commutes with the (linear) shears, so extracting
+    luma right after the blur runs all three shear passes and both
+    inter-shear transposes on one third of the data. Luma rows are pulled
+    from the [wc, h] slab with a (w, 3, h) reshape-split (strided sublane
+    slices are not supported by Mosaic; this is); the final channel
+    replication is a sublane stack+reshape, also supported. Bit-exact
+    oracle: fast_warp.fused_stream_chain (gray-first order).
+    """
+    fillf = float(fill)
+    w = wc // c
+    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
+
+    p = (len(taps) - 1) // 2
+    if p:
+        xpadv = jnp.concatenate(
+            [xf[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xf]
+            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            axis=0,
+        )
+
+        def tap_sum(src, unit):
+            def at(t):
+                return src[t * unit : t * unit + (h if unit == 1 else wc), :]
+
+            acc = taps[p] * at(p)
+            for t in range(p):
+                acc = acc + taps[t] * (at(t) + at(2 * p - t))
+            return acc
+
+        accv = tap_sum(xpadv, 1)
+        acct = jnp.swapaxes(accv, 0, 1)  # [wc, h]
+        acctp = jnp.concatenate(
+            [acct[c * i : c * i + c, :] for i in range(p, 0, -1)]
+            + [acct]
+            + [acct[c * (w - 2 - i) : c * (w - 2 - i) + c, :] for i in range(p)],
+            axis=0,
+        )
+        src = tap_sum(acctp, c)  # [wc, h] blurred, f32 (no quantization)
+    else:
+        src = jnp.swapaxes(xf, 0, 1)  # [wc, h]
+
+    # ---- grayscale (sublane orientation) -> single-channel luma -----------
+    q = src * g_ref[:, :1]
+    sum3 = q + pltpu.roll(q, 1, axis=0) + pltpu.roll(q, wc - 1, axis=0)
+    lum = sum3.reshape(w, c, h)[:, 1, :]  # [w, h] (center rows only)
+
+    # ---- 3 shears on the luma plane (1/3 the data) ------------------------
+    lw = jnp.concatenate([lum, jnp.full((lsx - w, h), fillf)], axis=0)
+    s1 = _shear_pass(jnp.swapaxes(lw, 0, 1), runs1, f1_ref[:, :1], 1, quantize=False)
+    s1w = jnp.concatenate([s1[:, :w], jnp.full((ls2 - h, w), fillf)], axis=0)
+    s2 = _shear_pass(jnp.swapaxes(s1w, 0, 1), runs2p, f2p_ref[:, :1], 1, quantize=False)
+    s2w = jnp.concatenate([s2[:, :h], jnp.full((lsx - w, h), fillf)], axis=0)
+    s3 = _shear_pass(jnp.swapaxes(s2w, 0, 1), runs1, f1_ref[:, :1], 1, quantize=False)
+
+    # single final quantization: floor(v + 0.5) via the int cast (v >= 0)
+    v = (s3[:, :w] + 0.5).astype(jnp.int32)
+    vt = jnp.swapaxes(v, 0, 1)  # [w, h]
+    vi = jnp.stack([vt, vt, vt], axis=1).reshape(wc, h)
+    o_ref[0] = jnp.swapaxes(vi, 0, 1).astype(jnp.uint8)
+
+
 def _route_rows(v, amt, unit, nbits):
     """out[r, l] = v[r, l + (amt_r)*unit] (cyclic) where ``amt`` [rows, 1]
     is a NON-NEGATIVE per-row lane shift (< 2**nbits), constant along
@@ -311,6 +391,91 @@ def _shear_pass_traced(v, kcol, f_col, lane_unit, bias, nbits, quantize):
     ler = _roll_left(ler, -bias * lane_unit)
     out = _route_rows(ler, kcol + bias, lane_unit, nbits)
     return _quant_trunc(out) if quantize else out
+
+
+def _mega_traced_gray1_kernel(
+    x_ref,
+    k1_ref,   # [1, h, 128] i32 pass-1/3 integer shifts
+    f1_ref,   # [1, h, 128] f32 pass-1/3 fracs
+    k2p_ref,  # [1, w, 128] i32 pass-2 PIXEL shifts
+    f2p_ref,  # [1, w, 128] f32 pass-2 PIXEL fracs
+    g_ref,    # [wc, 128] f32 col 0 = L24 weight / 65536 per interleaved row
+    o_ref,
+    *,
+    h: int,
+    wc: int,
+    c: int,
+    lsx: int,
+    ls2: int,
+    taps: tuple[float, ...],
+    bias1: int,
+    nbits1: int,
+    bias2: int,
+    nbits2: int,
+    fill: int,
+):
+    """Traced-angle variant of _mega_gray1_kernel: stream blur -> luma ->
+    3 log-routed shears on the single channel -> replicate. Identical
+    structure; shifts/fracs are per-image inputs."""
+    fillf = float(fill)
+    w = wc // c
+    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)
+
+    p = (len(taps) - 1) // 2
+    if p:
+        xpadv = jnp.concatenate(
+            [xf[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xf]
+            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            axis=0,
+        )
+
+        def tap_sum(src, unit):
+            def at(t):
+                return src[t * unit : t * unit + (h if unit == 1 else wc), :]
+
+            acc = taps[p] * at(p)
+            for t in range(p):
+                acc = acc + taps[t] * (at(t) + at(2 * p - t))
+            return acc
+
+        accv = tap_sum(xpadv, 1)
+        acct = jnp.swapaxes(accv, 0, 1)
+        acctp = jnp.concatenate(
+            [acct[c * i : c * i + c, :] for i in range(p, 0, -1)]
+            + [acct]
+            + [acct[c * (w - 2 - i) : c * (w - 2 - i) + c, :] for i in range(p)],
+            axis=0,
+        )
+        src = tap_sum(acctp, c)  # [wc, h]
+    else:
+        src = jnp.swapaxes(xf, 0, 1)
+
+    q = src * g_ref[:, :1]
+    sum3 = q + pltpu.roll(q, 1, axis=0) + pltpu.roll(q, wc - 1, axis=0)
+    lum = sum3.reshape(w, c, h)[:, 1, :]  # [w, h]
+
+    k1c = k1_ref[0, :, :1]
+    f1c = f1_ref[0, :, :1]
+    k2c = k2p_ref[0, :, :1]
+    f2c = f2p_ref[0, :, :1]
+
+    lw = jnp.concatenate([lum, jnp.full((lsx - w, h), fillf)], axis=0)
+    s1 = _shear_pass_traced(
+        jnp.swapaxes(lw, 0, 1), k1c, f1c, 1, bias1, nbits1, False
+    )
+    s1w = jnp.concatenate([s1[:, :w], jnp.full((ls2 - h, w), fillf)], axis=0)
+    s2 = _shear_pass_traced(
+        jnp.swapaxes(s1w, 0, 1), k2c, f2c, 1, bias2, nbits2, False
+    )
+    s2w = jnp.concatenate([s2[:, :h], jnp.full((lsx - w, h), fillf)], axis=0)
+    s3 = _shear_pass_traced(
+        jnp.swapaxes(s2w, 0, 1), k1c, f1c, 1, bias1, nbits1, False
+    )
+    v = (s3[:, :w] + 0.5).astype(jnp.int32)
+    vt = jnp.swapaxes(v, 0, 1)
+    vi = jnp.stack([vt, vt, vt], axis=1).reshape(wc, h)
+    o_ref[0] = jnp.swapaxes(vi, 0, 1).astype(jnp.uint8)
 
 
 def _mega_traced_kernel(
@@ -462,6 +627,48 @@ def fused_blur_rotate_batched(
     else:
         taps = (1.0,)
 
+    if stream and grayscale_out and c == 3:
+        # single-luma-channel back half (see _mega_gray1_kernel): the three
+        # log-routed shears and their transposes run on 1/3 the data
+        lsx = _round_up(w + px + 2, 128)
+        gcol = np.zeros((wc, 1), np.float32)
+        gcol[:, 0] = np.choose(
+            np.arange(wc) % 3,
+            (np.asarray([19595.0, 38470.0, 7471.0], np.float64) / 65536.0),
+        ).astype(np.float32)
+        out = pl.pallas_call(
+            functools.partial(
+                _mega_traced_gray1_kernel,
+                h=h, wc=wc, c=c, lsx=lsx, ls2=ls2, taps=taps,
+                bias1=bias1, nbits1=nbits1, bias2=bias2, nbits2=nbits2,
+                fill=fill,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wc, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=_interpret(),
+        )(
+            img.reshape(n, h, wc),
+            jnp.broadcast_to(k1.astype(jnp.int32)[:, :, None], (n, h, 128)),
+            jnp.broadcast_to(f1[:, :, None], (n, h, 128)),
+            jnp.broadcast_to(k2px.astype(jnp.int32)[:, :, None], (n, w, 128)),
+            jnp.broadcast_to((sy - k2px)[:, :, None], (n, w, 128)),
+            jnp.broadcast_to(jnp.asarray(gcol), (wc, 128)),
+        )
+        return out.reshape(n, h, w, c)
+
     lane_mod = np.arange(wc) % 3
     gv = np.zeros((3, wc), np.float32)
     gv[0] = np.choose(lane_mod, [19595.0, 38470.0, 7471.0])
@@ -554,6 +761,47 @@ def fused_blur_rotate_image(
     else:
         taps, p = (1.0,), 0
     xp = img.reshape(n, h, wc)
+
+    if stream and grayscale_out and c == 3 and float(angle_deg) != 0.0:
+        # grayscale commutes with the linear shears: extract luma after the
+        # blur and run all three shear passes (and both inter-shear
+        # transposes) on ONE channel — 1/3 the data for the whole back half
+        runs2p = tuple(_runs(k2px))
+        f2p = (sy - np.floor(sy)).astype(np.float32)
+        lsx = _round_up(w + px + 2, 128)
+        gcol = np.zeros((wc, 1), np.float32)
+        gcol[:, 0] = np.choose(
+            np.arange(wc) % 3,
+            (np.asarray([19595.0, 38470.0, 7471.0], np.float64) / 65536.0),
+        ).astype(np.float32)
+        out = pl.pallas_call(
+            functools.partial(
+                _mega_gray1_kernel,
+                h=h, wc=wc, c=c, lsx=lsx, ls2=ls2, taps=taps,
+                runs1=runs1, runs2p=runs2p, fill=fill,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wc, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=_interpret(),
+        )(
+            xp,
+            jnp.broadcast_to(jnp.asarray(f1)[:, None], (h, 128)),
+            jnp.broadcast_to(jnp.asarray(f2p)[:, None], (w, 128)),
+            jnp.broadcast_to(jnp.asarray(gcol), (wc, 128)),
+        )
+        return out.reshape(n, h, w, c)
 
     f1b = jnp.broadcast_to(jnp.asarray(f1)[:, None], (h, 128))
     f2b = jnp.broadcast_to(jnp.asarray(f2)[:, None], (wc, 128))
