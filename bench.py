@@ -82,7 +82,7 @@ def parity_check() -> float:
     return err_fast
 
 
-def timed_gpix(per_chip_batch: int, h: int, w: int, k: int = 32) -> float:
+def timed_gpix(per_chip_batch: int, h: int, w: int, k: int = 32, fn=None) -> float:
     """Per-iteration device time via a K-iteration scan with a scalar fetch.
 
     ``jax.block_until_ready`` does not actually synchronize on the tunneled
@@ -100,14 +100,15 @@ def timed_gpix(per_chip_batch: int, h: int, w: int, k: int = 32) -> float:
 
         mesh = Mesh(np.asarray(jax.devices()), ("data",))
         imgs = jax.device_put(imgs, NamedSharding(mesh, P("data")))
-    chain = [
-        OpSpec("blur", {"radius": RADIUS}),
-        OpSpec("rotation", {"angle": ANGLE}),
-        OpSpec("grayscale"),
-    ]
-    fn = build_chain_fn(chain, jit=False)
+    if fn is None:
+        chain = [
+            OpSpec("blur", {"radius": RADIUS}),
+            OpSpec("rotation", {"angle": ANGLE}),
+            OpSpec("grayscale"),
+        ]
+        fn = build_chain_fn(chain, jit=False)
 
-    def walls(g, reps: int = 7) -> float:
+    def walls(g, reps: int = 10) -> float:
         float(g(imgs))  # compile
         best = float("inf")
         for _ in range(reps):
@@ -146,6 +147,19 @@ def main() -> None:
     gpix = timed_gpix(BATCH, H, W)
     # ImageNet shape: the megakernel has no alignment gates, so 224 fuses too
     gpix224 = timed_gpix(128 // max(len(jax.devices()), 1), 224, 224, k=24)
+    # per-image TRACED angles (the reference's random-grid workload shape):
+    # the log-routed fused kernel, one executable for any angle vector
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_batched,
+    )
+
+    def traced_fn(x):
+        ang = jnp.asarray(np.linspace(-22.5, 22.5, x.shape[0], dtype=np.float32))
+        return fused_blur_rotate_batched(
+            x, RADIUS, ang, grayscale_out=True, stream=True
+        )
+
+    gpix_traced = timed_gpix(BATCH, H, W, k=12, fn=traced_fn)
     result = {
         "metric": "fused blur+rotate+grayscale Gpixels/s/chip (512x512 RGB)",
         "value": round(gpix, 3),
@@ -155,6 +169,7 @@ def main() -> None:
         "parity_ok": bool(max_err <= 1),
         "batch": BATCH,
         "gpix_224_imagenet": round(gpix224, 3),
+        "gpix_traced_angles": round(gpix_traced, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -1,20 +1,31 @@
-"""Whole-pipeline-per-image mega-kernel: blur -> 3-shear rotate -> grayscale.
+"""Whole-pipeline-per-image mega-kernels: blur -> 3-shear rotate -> grayscale.
 
 Round-1 profiling showed the fused pipeline was dominated not by compute but
 by the XLA u8 transposes between shear orientations (~0.43 ms each at
-~140 GB/s, 3 per batch) and by HBM round-trips between stages. This kernel
-keeps ONE image resident in VMEM for the entire chain:
+~140 GB/s, 3 per batch) and by HBM round-trips between stages. These kernels
+keep ONE image resident in VMEM for the entire chain:
 
-  u8 load -> f32 -> in-kernel reflect-101 pad (sublane concats)
+  u8 load -> reflect-101 pad in u8 (sublane concats) -> one f32 cast
            -> vertical blur taps (sublane slices, symmetric pairs)
            -> horizontal blur taps (sublane slices on the in-VMEM transpose)
-           -> rint quantize
-           -> shear X (per-run static lane rolls + f32 lerp) -> trunc quantize
-           -> in-VMEM f32 transpose
-           -> shear Y (as X on the transposed slab)        -> trunc quantize
-           -> transpose back
-           -> shear X                                       -> trunc quantize
+           -> [quantize] -> shear X (per-run static lane rolls + f32 lerp)
+           -> [quantize] -> in-VMEM f32 transpose -> shear Y -> [quantize]
+           -> transpose back -> shear X -> [quantize]
            -> optional PIL-exact grayscale -> u8 store
+
+Four variants share this structure:
+- ``stream=False`` (default): the [quantize] steps are the reference's
+  per-op uint8 rounding — bit-identical to gaussian_blur ->
+  oracle rotate_3shear (-> grayscale) image-at-a-time semantics.
+- ``stream=True``: f32 streaming, ONE final quantization (the fast-mode
+  chain contract; oracle fast_warp.fused_stream_chain) — fewer VPU passes
+  and unbiased rounding. With ``grayscale_out`` the kernel further
+  COMMUTES grayscale before the (linear) shears and runs the whole back
+  half on a single luma plane — 1/3 the data (``_mega_gray1_kernel``;
+  11+ Gpix/s on v5e at 512x512).
+- ``fused_blur_rotate_batched``: per-image TRACED angles — per-run static
+  rolls become a -bias pre-roll + log2(shift range) roll+select pairs,
+  one executable for any angle vector (with the same gray1 variant).
 
 Shear slabs carry a single RIGHT fill pad: the cyclic roll wraps negative
 source positions into the pad (= fill), and the lerp-partner roll wraps
@@ -120,6 +131,21 @@ def _grayscale_rows(xi: jnp.ndarray, cv: jnp.ndarray, cs: jnp.ndarray, cb: jnp.n
     return s + pltpu.roll(s, 1, axis=1) + pltpu.roll(s, lanes - 1, axis=1)
 
 
+#: L24 luma weights with the /2^16 scale folded in (exact f32 values)
+_LW = tuple(
+    float(np.float32(v))
+    for v in (np.asarray([19595.0, 38470.0, 7471.0], np.float64) / 65536.0)
+)
+
+
+def _luma_from_planes(src: jnp.ndarray, w: int, c: int, h: int) -> jnp.ndarray:
+    """[wc, h] interleaved-row slab -> [w, h] luma plane: reshape-split the
+    channel planes and weighted-sum on third-slabs. Op order (G + R) + B
+    matches the oracle (fast_warp.fused_stream_chain)."""
+    xr = src.reshape(w, c, h)
+    return (xr[:, 1, :] * _LW[1] + xr[:, 0, :] * _LW[0]) + xr[:, 2, :] * _LW[2]
+
+
 def _quant_trunc(x: jnp.ndarray) -> jnp.ndarray:
     # lerp output (1-f)*a + f*b of values in [0, 255] stays in [0, 255]
     # (worst-case f32 rounding gives -0.0 / 255.00002, both truncating to
@@ -166,8 +192,6 @@ def _mega_kernel(
 ):
     fillf = float(fill)
     w = wc // c
-    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
-
     # ---- blur (or plain cast when radius == 0) ----------------------------
     p = (len(taps) - 1) // 2
     if p:
@@ -176,12 +200,14 @@ def _mega_kernel(
         # round-trips — a third of the whole chain). Vertical reflection is
         # a sublane concat here; horizontal reflection becomes a sublane
         # concat of per-pixel c-row strips after the transpose.
+        # pad in uint8 (1/4 the concat bytes), ONE cast of the padded slab
+        xu = x_ref[0]
         xpadv = jnp.concatenate(
-            [xf[i : i + 1, :] for i in range(p, 0, -1)]
-            + [xf]
-            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            [xu[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xu]
+            + [xu[h - 2 - i : h - 1 - i, :] for i in range(p)],
             axis=0,
-        )  # [h + 2p, wc]
+        ).astype(jnp.int32).astype(jnp.float32)  # [h + 2p, wc]
 
         # Gaussian taps are symmetric: pair mirrored slices with one add
         # before the multiply (k taps -> (k+1)/2 multiplies). Every full-slab
@@ -224,7 +250,7 @@ def _mega_kernel(
             )  # [ls1, h]
             content = maybe_rint(jnp.swapaxes(accw, 0, 1))  # [h, ls1]
     else:
-        content = xf
+        content = x_ref[0].astype(jnp.int32).astype(jnp.float32)
 
     def with_margins(mid, left, total):
         # zero-width pieces crash the Mosaic vectorizer — emit only nonempty
@@ -293,7 +319,6 @@ def _mega_gray1_kernel(
     x_ref,
     f1_ref,   # [h, 128] f32 pass-1/3 lerp fracs
     f2p_ref,  # [w, 128] f32 pass-2 PIXEL lerp fracs (not c-replicated)
-    g_ref,    # [wc, 128] f32: col 0 = L24 weight / 65536 per interleaved row
     o_ref,
     *,
     h: int,
@@ -309,9 +334,10 @@ def _mega_gray1_kernel(
     """Stream-mode blur -> GRAYSCALE -> 3-shear rotate on a SINGLE luma
     channel. Grayscale commutes with the (linear) shears, so extracting
     luma right after the blur runs all three shear passes and both
-    inter-shear transposes on one third of the data. Luma rows are pulled
-    from the [wc, h] slab with a (w, 3, h) reshape-split (strided sublane
-    slices are not supported by Mosaic; this is); the final channel
+    inter-shear transposes on one third of the data. The channel planes
+    are pulled from the [wc, h] slab with (w, 3, h) reshape-splits
+    (strided sublane slices are not supported by Mosaic; this is) so even
+    the luma weighted-sum runs on third-slabs; the final channel
     replication is a sublane stack+reshape, also supported. Bit-exact
     oracle: fast_warp.fused_stream_chain (gray-first order).
     """
@@ -321,12 +347,14 @@ def _mega_gray1_kernel(
 
     p = (len(taps) - 1) // 2
     if p:
+        # pad in uint8 (1/4 the concat bytes), ONE cast of the padded slab
+        xu = x_ref[0]
         xpadv = jnp.concatenate(
-            [xf[i : i + 1, :] for i in range(p, 0, -1)]
-            + [xf]
-            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            [xu[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xu]
+            + [xu[h - 2 - i : h - 1 - i, :] for i in range(p)],
             axis=0,
-        )
+        ).astype(jnp.int32).astype(jnp.float32)
 
         def tap_sum(src, unit):
             def at(t):
@@ -349,10 +377,11 @@ def _mega_gray1_kernel(
     else:
         src = jnp.swapaxes(xf, 0, 1)  # [wc, h]
 
-    # ---- grayscale (sublane orientation) -> single-channel luma -----------
-    q = src * g_ref[:, :1]
-    sum3 = q + pltpu.roll(q, 1, axis=0) + pltpu.roll(q, wc - 1, axis=0)
-    lum = sum3.reshape(w, c, h)[:, 1, :]  # [w, h] (center rows only)
+    # ---- grayscale -> single-channel luma ---------------------------------
+    # extract the three channel planes and do the weighted sum on
+    # third-slabs (bit-identical to summing over interleaved rows; the
+    # L24 weights fold the /65536 scale — w_i/2^16 are exact in f32)
+    lum = _luma_from_planes(src, w, c, h)  # [w, h]
 
     # ---- 3 shears on the luma plane (1/3 the data) ------------------------
     lw = jnp.concatenate([lum, jnp.full((lsx - w, h), fillf)], axis=0)
@@ -399,7 +428,6 @@ def _mega_traced_gray1_kernel(
     f1_ref,   # [1, h, 128] f32 pass-1/3 fracs
     k2p_ref,  # [1, w, 128] i32 pass-2 PIXEL shifts
     f2p_ref,  # [1, w, 128] f32 pass-2 PIXEL fracs
-    g_ref,    # [wc, 128] f32 col 0 = L24 weight / 65536 per interleaved row
     o_ref,
     *,
     h: int,
@@ -423,12 +451,14 @@ def _mega_traced_gray1_kernel(
 
     p = (len(taps) - 1) // 2
     if p:
+        # pad in uint8 (1/4 the concat bytes), ONE cast of the padded slab
+        xu = x_ref[0]
         xpadv = jnp.concatenate(
-            [xf[i : i + 1, :] for i in range(p, 0, -1)]
-            + [xf]
-            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            [xu[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xu]
+            + [xu[h - 2 - i : h - 1 - i, :] for i in range(p)],
             axis=0,
-        )
+        ).astype(jnp.int32).astype(jnp.float32)
 
         def tap_sum(src, unit):
             def at(t):
@@ -451,9 +481,7 @@ def _mega_traced_gray1_kernel(
     else:
         src = jnp.swapaxes(xf, 0, 1)
 
-    q = src * g_ref[:, :1]
-    sum3 = q + pltpu.roll(q, 1, axis=0) + pltpu.roll(q, wc - 1, axis=0)
-    lum = sum3.reshape(w, c, h)[:, 1, :]  # [w, h]
+    lum = _luma_from_planes(src, w, c, h)  # [w, h]
 
     k1c = k1_ref[0, :, :1]
     f1c = f1_ref[0, :, :1]
@@ -509,12 +537,14 @@ def _mega_traced_kernel(
 
     p = (len(taps) - 1) // 2
     if p:
+        # pad in uint8 (1/4 the concat bytes), ONE cast of the padded slab
+        xu = x_ref[0]
         xpadv = jnp.concatenate(
-            [xf[i : i + 1, :] for i in range(p, 0, -1)]
-            + [xf]
-            + [xf[h - 2 - i : h - 1 - i, :] for i in range(p)],
+            [xu[i : i + 1, :] for i in range(p, 0, -1)]
+            + [xu]
+            + [xu[h - 2 - i : h - 1 - i, :] for i in range(p)],
             axis=0,
-        )
+        ).astype(jnp.int32).astype(jnp.float32)
 
         def tap_sum(src, unit):
             def at(t):
@@ -631,11 +661,6 @@ def fused_blur_rotate_batched(
         # single-luma-channel back half (see _mega_gray1_kernel): the three
         # log-routed shears and their transposes run on 1/3 the data
         lsx = _round_up(w + px + 2, 128)
-        gcol = np.zeros((wc, 1), np.float32)
-        gcol[:, 0] = np.choose(
-            np.arange(wc) % 3,
-            (np.asarray([19595.0, 38470.0, 7471.0], np.float64) / 65536.0),
-        ).astype(np.float32)
         out = pl.pallas_call(
             functools.partial(
                 _mega_traced_gray1_kernel,
@@ -651,7 +676,6 @@ def fused_blur_rotate_batched(
                 pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wc, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -665,7 +689,6 @@ def fused_blur_rotate_batched(
             jnp.broadcast_to(f1[:, :, None], (n, h, 128)),
             jnp.broadcast_to(k2px.astype(jnp.int32)[:, :, None], (n, w, 128)),
             jnp.broadcast_to((sy - k2px)[:, :, None], (n, w, 128)),
-            jnp.broadcast_to(jnp.asarray(gcol), (wc, 128)),
         )
         return out.reshape(n, h, w, c)
 
@@ -769,11 +792,6 @@ def fused_blur_rotate_image(
         runs2p = tuple(_runs(k2px))
         f2p = (sy - np.floor(sy)).astype(np.float32)
         lsx = _round_up(w + px + 2, 128)
-        gcol = np.zeros((wc, 1), np.float32)
-        gcol[:, 0] = np.choose(
-            np.arange(wc) % 3,
-            (np.asarray([19595.0, 38470.0, 7471.0], np.float64) / 65536.0),
-        ).astype(np.float32)
         out = pl.pallas_call(
             functools.partial(
                 _mega_gray1_kernel,
@@ -787,7 +805,6 @@ def fused_blur_rotate_image(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((w, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wc, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -799,7 +816,6 @@ def fused_blur_rotate_image(
             xp,
             jnp.broadcast_to(jnp.asarray(f1)[:, None], (h, 128)),
             jnp.broadcast_to(jnp.asarray(f2p)[:, None], (w, 128)),
-            jnp.broadcast_to(jnp.asarray(gcol), (wc, 128)),
         )
         return out.reshape(n, h, w, c)
 
