@@ -43,12 +43,19 @@ def _value_sweep_rotation(x, values, grid: tuple):
 
 
 def _rotation_by_unique_angle(x, values, key):
-    """Per-image random angles via the per-image-angle 3-shear kernel
-    (one executable for any angle vector; the all-angles sweep remains as
-    _value_sweep_rotation for reference)."""
-    from imagetransformations_tpu.ops.pallas.shear import rotate_3shear_batched
+    """Per-image random angles via the VMEM-resident traced megakernel
+    (log-routed shifts; per-pass uint8 quantization like rotate_3shear —
+    stream=False): ~2x the three-kernel path, one executable for any
+    angle vector within the grid bound."""
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_batched,
+    )
 
-    return rotate_3shear_batched(x, jnp.asarray(values, jnp.float32))
+    grid = tuple(float(v) for v in PARAM_GRIDS["rotation"].values())
+    return fused_blur_rotate_batched(
+        x, 0.0, jnp.asarray(values, jnp.float32), stream=False,
+        max_angle_deg=max(abs(v) for v in grid) + 0.5,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_shear",))
