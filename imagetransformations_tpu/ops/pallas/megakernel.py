@@ -616,10 +616,16 @@ def fused_blur_rotate_batched(
     Semantics match fused_blur_rotate_image (stream or per-op quantized);
     costs ~2x the static-angle kernel (log-routed shifts: ~log2(shift
     range) roll+select pairs per shear instead of static run rolls).
+    Angles are CLAMPED to +-max_angle_deg — a shift beyond the static
+    routing budget would otherwise silently emit unmatched-select garbage
+    (the rotate_gather failure mode ADVICE r2 flagged).
     """
     n, h, w, c = img.shape
     wc = w * c
-    t = jnp.deg2rad(-jnp.asarray(angles_deg, jnp.float32)).reshape(-1)
+    ang = jnp.clip(
+        jnp.asarray(angles_deg, jnp.float32), -max_angle_deg, max_angle_deg
+    )
+    t = jnp.deg2rad(-ang).reshape(-1)
     t = jnp.broadcast_to(t, (n,))
     a = -jnp.tan(t / 2.0)
     b = jnp.sin(t)

@@ -25,23 +25,6 @@ from imagetransformations_tpu.pipeline.chain import Chain, build_chain_fn
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def _value_sweep_rotation(x, values, grid: tuple):
-    """ONE compiled executable: rotate the batch by every grid angle, select
-    each image's row by its drawn value. The per-angle 3-shear kernels are
-    ~0.1-1.6 ms each so sweeping all 19 angles costs a few ms — vs seconds
-    for any recompile, and vs ~0.5 s of per-call RPC round-trips for a host
-    loop on the tunneled runtime.
-    """
-    from imagetransformations_tpu.ops.pallas.shear import rotate_3shear
-
-    vd = values.reshape(-1, 1, 1, 1)
-    out = jnp.zeros_like(x)
-    for v in grid:
-        out = jnp.where(vd == v, rotate_3shear(x, v), out)
-    return out
-
-
 def _rotation_by_unique_angle(x, values, key):
     """Per-image random angles via the VMEM-resident traced megakernel
     (log-routed shifts; per-pass uint8 quantization like rotate_3shear —
@@ -247,8 +230,9 @@ def _apply_per_value(images: jnp.ndarray, t: str, values: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("t", "grid"))
 def _value_sweep_per_value(images, values, t: str, grid: tuple):
-    """ONE compiled executable sweeping every grid value (see
-    _value_sweep_rotation for why full-batch + in-graph select wins)."""
+    """ONE compiled executable sweeping every grid value and selecting each
+    image's row (a host loop over values would pay per-call RPC floors and
+    a recompile per value on the tunneled runtime)."""
     w = images.shape[2]
     vd = values.reshape(-1, 1, 1, 1)
     out = jnp.zeros_like(images)
