@@ -315,6 +315,66 @@ def _mega_kernel(
     o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _luma_blur_front(x_ref, h: int, wc: int, c: int, lsx: int,
+                     taps: tuple[float, ...], fillf: float) -> jnp.ndarray:
+    """Shared front half of the gray1 kernels: EXACT integer luma from the
+    raw uint8 input, then the separable blur on the single luma plane.
+
+    Grayscale commutes with the whole linear chain (blur AND shears), so
+    the u8 input is transposed (1/4-cost u8 relayout), reshape-split into
+    channel planes, and reduced to luma BEFORE anything else — the blur
+    and every later stage run on 1/3 the data. The integer L24 dot product
+    is exact in int32 and its f32 conversion is exact (< 2^24), so this
+    luma is MORE precise than rounding three f32 products.
+
+    Blur runs X-pass first (sublane taps in [w, h]) then, after the
+    transpose that also folds in the shear fill margins, Y-pass in
+    [h, lsx] (the 0-fill margin lanes blur to 0 = fill). Returns the
+    blurred luma [h, lsx] ready for shear pass 1.
+    """
+    w = wc // c
+    xt = jnp.swapaxes(x_ref[0], 0, 1)  # [wc, h] u8
+    xr = xt.reshape(w, c, h)
+    lum_i = (
+        xr[:, 1, :].astype(jnp.int32) * 38470
+        + xr[:, 0, :].astype(jnp.int32) * 19595
+    ) + xr[:, 2, :].astype(jnp.int32) * 7471
+    lum = lum_i.astype(jnp.float32) * jnp.float32(1.0 / 65536.0)  # [w, h]
+
+    p = (len(taps) - 1) // 2
+
+    def tap_sum(src, rows):
+        def at(t):
+            return src[t : t + rows, :]
+
+        acc = taps[p] * at(p)
+        for t in range(p):
+            acc = acc + taps[t] * (at(t) + at(2 * p - t))
+        return acc
+
+    if p:
+        xpadh = jnp.concatenate(
+            [lum[i : i + 1, :] for i in range(p, 0, -1)]
+            + [lum]
+            + [lum[w - 2 - i : w - 1 - i, :] for i in range(p)],
+            axis=0,
+        )
+        bx = tap_sum(xpadh, w)  # [w, h]
+    else:
+        bx = lum
+    bxw = jnp.concatenate([bx, jnp.full((lsx - w, h), fillf)], axis=0)
+    t1 = jnp.swapaxes(bxw, 0, 1)  # [h, lsx]
+    if not p:
+        return t1
+    xpadv = jnp.concatenate(
+        [t1[i : i + 1, :] for i in range(p, 0, -1)]
+        + [t1]
+        + [t1[h - 2 - i : h - 1 - i, :] for i in range(p)],
+        axis=0,
+    )
+    return tap_sum(xpadv, h)  # [h, lsx]
+
+
 def _mega_gray1_kernel(
     x_ref,
     f1_ref,   # [h, 128] f32 pass-1/3 lerp fracs
@@ -331,61 +391,18 @@ def _mega_gray1_kernel(
     runs2p: tuple[tuple[int, int, int], ...],
     fill: int,
 ):
-    """Stream-mode blur -> GRAYSCALE -> 3-shear rotate on a SINGLE luma
-    channel. Grayscale commutes with the (linear) shears, so extracting
-    luma right after the blur runs all three shear passes and both
-    inter-shear transposes on one third of the data. The channel planes
-    are pulled from the [wc, h] slab with (w, 3, h) reshape-splits
-    (strided sublane slices are not supported by Mosaic; this is) so even
-    the luma weighted-sum runs on third-slabs; the final channel
-    replication is a sublane stack+reshape, also supported. Bit-exact
-    oracle: fast_warp.fused_stream_chain (gray-first order).
-    """
+    """Stream-mode GRAYSCALE -> blur -> 3-shear rotate, ALL on a single
+    luma plane (see _luma_blur_front): grayscale commutes with every
+    linear stage, so the whole chain runs on 1/3 the data. The final
+    channel replication is a sublane stack+reshape (supported by Mosaic;
+    lane interleave is not). Bit-exact oracle:
+    fast_warp.fused_stream_chain (gray-first order)."""
     fillf = float(fill)
     w = wc // c
-    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
-
-    p = (len(taps) - 1) // 2
-    if p:
-        # pad in uint8 (1/4 the concat bytes), ONE cast of the padded slab
-        xu = x_ref[0]
-        xpadv = jnp.concatenate(
-            [xu[i : i + 1, :] for i in range(p, 0, -1)]
-            + [xu]
-            + [xu[h - 2 - i : h - 1 - i, :] for i in range(p)],
-            axis=0,
-        ).astype(jnp.int32).astype(jnp.float32)
-
-        def tap_sum(src, unit):
-            def at(t):
-                return src[t * unit : t * unit + (h if unit == 1 else wc), :]
-
-            acc = taps[p] * at(p)
-            for t in range(p):
-                acc = acc + taps[t] * (at(t) + at(2 * p - t))
-            return acc
-
-        accv = tap_sum(xpadv, 1)
-        acct = jnp.swapaxes(accv, 0, 1)  # [wc, h]
-        acctp = jnp.concatenate(
-            [acct[c * i : c * i + c, :] for i in range(p, 0, -1)]
-            + [acct]
-            + [acct[c * (w - 2 - i) : c * (w - 2 - i) + c, :] for i in range(p)],
-            axis=0,
-        )
-        src = tap_sum(acctp, c)  # [wc, h] blurred, f32 (no quantization)
-    else:
-        src = jnp.swapaxes(xf, 0, 1)  # [wc, h]
-
-    # ---- grayscale -> single-channel luma ---------------------------------
-    # extract the three channel planes and do the weighted sum on
-    # third-slabs (bit-identical to summing over interleaved rows; the
-    # L24 weights fold the /65536 scale — w_i/2^16 are exact in f32)
-    lum = _luma_from_planes(src, w, c, h)  # [w, h]
+    bv = _luma_blur_front(x_ref, h, wc, c, lsx, taps, fillf)  # [h, lsx]
 
     # ---- 3 shears on the luma plane (1/3 the data) ------------------------
-    lw = jnp.concatenate([lum, jnp.full((lsx - w, h), fillf)], axis=0)
-    s1 = _shear_pass(jnp.swapaxes(lw, 0, 1), runs1, f1_ref[:, :1], 1, quantize=False)
+    s1 = _shear_pass(bv, runs1, f1_ref[:, :1], 1, quantize=False)
     s1w = jnp.concatenate([s1[:, :w], jnp.full((ls2 - h, w), fillf)], axis=0)
     s2 = _shear_pass(jnp.swapaxes(s1w, 0, 1), runs2p, f2p_ref[:, :1], 1, quantize=False)
     s2w = jnp.concatenate([s2[:, :h], jnp.full((lsx - w, h), fillf)], axis=0)
@@ -442,56 +459,19 @@ def _mega_traced_gray1_kernel(
     nbits2: int,
     fill: int,
 ):
-    """Traced-angle variant of _mega_gray1_kernel: stream blur -> luma ->
-    3 log-routed shears on the single channel -> replicate. Identical
-    structure; shifts/fracs are per-image inputs."""
+    """Traced-angle variant of _mega_gray1_kernel: exact integer luma ->
+    stream blur -> 3 log-routed shears, all on the single luma plane.
+    Identical structure; shifts/fracs are per-image inputs."""
     fillf = float(fill)
     w = wc // c
-    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)
-
-    p = (len(taps) - 1) // 2
-    if p:
-        # pad in uint8 (1/4 the concat bytes), ONE cast of the padded slab
-        xu = x_ref[0]
-        xpadv = jnp.concatenate(
-            [xu[i : i + 1, :] for i in range(p, 0, -1)]
-            + [xu]
-            + [xu[h - 2 - i : h - 1 - i, :] for i in range(p)],
-            axis=0,
-        ).astype(jnp.int32).astype(jnp.float32)
-
-        def tap_sum(src, unit):
-            def at(t):
-                return src[t * unit : t * unit + (h if unit == 1 else wc), :]
-
-            acc = taps[p] * at(p)
-            for t in range(p):
-                acc = acc + taps[t] * (at(t) + at(2 * p - t))
-            return acc
-
-        accv = tap_sum(xpadv, 1)
-        acct = jnp.swapaxes(accv, 0, 1)
-        acctp = jnp.concatenate(
-            [acct[c * i : c * i + c, :] for i in range(p, 0, -1)]
-            + [acct]
-            + [acct[c * (w - 2 - i) : c * (w - 2 - i) + c, :] for i in range(p)],
-            axis=0,
-        )
-        src = tap_sum(acctp, c)  # [wc, h]
-    else:
-        src = jnp.swapaxes(xf, 0, 1)
-
-    lum = _luma_from_planes(src, w, c, h)  # [w, h]
+    bv = _luma_blur_front(x_ref, h, wc, c, lsx, taps, fillf)  # [h, lsx]
 
     k1c = k1_ref[0, :, :1]
     f1c = f1_ref[0, :, :1]
     k2c = k2p_ref[0, :, :1]
     f2c = f2p_ref[0, :, :1]
 
-    lw = jnp.concatenate([lum, jnp.full((lsx - w, h), fillf)], axis=0)
-    s1 = _shear_pass_traced(
-        jnp.swapaxes(lw, 0, 1), k1c, f1c, 1, bias1, nbits1, False
-    )
+    s1 = _shear_pass_traced(bv, k1c, f1c, 1, bias1, nbits1, False)
     s1w = jnp.concatenate([s1[:, :w], jnp.full((ls2 - h, w), fillf)], axis=0)
     s2 = _shear_pass_traced(
         jnp.swapaxes(s1w, 0, 1), k2c, f2c, 1, bias2, nbits2, False

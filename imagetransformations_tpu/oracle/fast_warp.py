@@ -121,33 +121,39 @@ def fused_stream_chain(
     per-op-quantized chain (no intermediate rounding).
 
     When rotating WITH grayscale, the kernel (and this oracle) commutes the
-    per-pixel-linear grayscale BEFORE the linear shears and runs the shears
-    on the single luma channel (megakernel._mega_gray1_kernel) — identical
-    to gray-last in exact arithmetic, within ~1 LSB in f32. The luma
-    weights fold the /65536 scale (w_i/2^16 are exact in f32); the single
-    final quantization is floor(v + 0.5)."""
+    per-pixel-linear grayscale to the FRONT of the chain — the blur and
+    the shears are all linear — and runs everything on the single luma
+    plane (megakernel._mega_gray1_kernel / _luma_blur_front). The luma is
+    the EXACT integer L24 dot product converted to f32 (exact, < 2^24)
+    and scaled by 2^-16 (exact); the kernel blurs the luma plane X-pass
+    first, then Y-pass; the single final quantization is floor(v + 0.5)."""
     n, h, w, c = img.shape
+    if angle_deg != 0.0 and grayscale_out:
+        xi = img.astype(np.int64)
+        lum_i = (xi[..., 1] * 38470 + xi[..., 0] * 19595) + xi[..., 2] * 7471
+        v = (lum_i.astype(F32) * F32(1.0 / 65536.0))[..., None]  # [n, h, w, 1]
+        if radius > 0:
+            # kernel blur order on the luma plane: X-pass then Y-pass —
+            # run _blur_f32 (axis1 then axis2) on the transposed plane
+            v = _blur_f32(v.transpose(0, 2, 1, 3), radius).transpose(0, 2, 1, 3)
+        t = math.radians(-angle_deg)
+        a, b = -math.tan(t / 2.0), math.sin(t)
+        sx = _row_shifts(h, a, h / 2.0)
+        sy = _row_shifts(w, b, w / 2.0)
+        v = _shear_rows_f32(v, sx, fill)
+        v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sy, fill)
+        v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sx, fill)
+        out = np.floor(v + F32(0.5)).astype(np.uint8)
+        return np.repeat(out, 3, axis=-1)
     x = img.astype(F32)
     if radius > 0:
         x = _blur_f32(x, radius)
     if angle_deg != 0.0:
         t = math.radians(-angle_deg)
         a, b = -math.tan(t / 2.0), math.sin(t)
-        sx = _row_shifts(h, a, h / 2.0)
-        sy = _row_shifts(w, b, w / 2.0)
-        if grayscale_out:
-            wgt = (np.asarray([19595.0, 38470.0, 7471.0], np.float64) / 65536.0).astype(F32)
-            # kernel's sum3 order at center lanes: (G' + R') + B'
-            lum = (x[..., 1] * wgt[1] + x[..., 0] * wgt[0]) + x[..., 2] * wgt[2]
-            v = lum[..., None]  # [n, h, w, 1]
-            v = _shear_rows_f32(v, sx, fill)
-            v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sy, fill)
-            v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sx, fill)
-            out = np.floor(v + F32(0.5)).astype(np.uint8)
-            return np.repeat(out, 3, axis=-1)
-        x = _shear_rows_f32(x, sx, fill)
-        x = _shear_rows_f32(x.transpose(0, 2, 1, 3), sy, fill)
-        x = _shear_rows_f32(x.transpose(0, 2, 1, 3), sx, fill)
+        x = _shear_rows_f32(x, _row_shifts(h, a, h / 2.0), fill)
+        x = _shear_rows_f32(x.transpose(0, 2, 1, 3), _row_shifts(w, b, w / 2.0), fill)
+        x = _shear_rows_f32(x.transpose(0, 2, 1, 3), _row_shifts(h, a, h / 2.0), fill)
         return np.clip(np.trunc(x), 0, 255).astype(np.uint8)
     if not grayscale_out:
         return np.clip(np.rint(x), 0, 255).astype(np.uint8)
