@@ -131,21 +131,6 @@ def _grayscale_rows(xi: jnp.ndarray, cv: jnp.ndarray, cs: jnp.ndarray, cb: jnp.n
     return s + pltpu.roll(s, 1, axis=1) + pltpu.roll(s, lanes - 1, axis=1)
 
 
-#: L24 luma weights with the /2^16 scale folded in (exact f32 values)
-_LW = tuple(
-    float(np.float32(v))
-    for v in (np.asarray([19595.0, 38470.0, 7471.0], np.float64) / 65536.0)
-)
-
-
-def _luma_from_planes(src: jnp.ndarray, w: int, c: int, h: int) -> jnp.ndarray:
-    """[wc, h] interleaved-row slab -> [w, h] luma plane: reshape-split the
-    channel planes and weighted-sum on third-slabs. Op order (G + R) + B
-    matches the oracle (fast_warp.fused_stream_chain)."""
-    xr = src.reshape(w, c, h)
-    return (xr[:, 1, :] * _LW[1] + xr[:, 0, :] * _LW[0]) + xr[:, 2, :] * _LW[2]
-
-
 def _quant_trunc(x: jnp.ndarray) -> jnp.ndarray:
     # lerp output (1-f)*a + f*b of values in [0, 255] stays in [0, 255]
     # (worst-case f32 rounding gives -0.0 / 255.00002, both truncating to
@@ -771,7 +756,12 @@ def fused_blur_rotate_image(
         taps, p = (1.0,), 0
     xp = img.reshape(n, h, wc)
 
-    if stream and grayscale_out and c == 3 and float(angle_deg) != 0.0:
+    if stream and grayscale_out and c == 3 and (
+        float(angle_deg) != 0.0 or radius > 0
+    ):
+        # angle == 0 still routes here: the k=0/f=0 shear passes are exact
+        # identities (v + 0*(nbr-v) == v in f32), so blur+gray chains get
+        # the single-luma-plane fast path too
         # grayscale commutes with the linear shears: extract luma after the
         # blur and run all three shear passes (and both inter-shear
         # transposes) on ONE channel — 1/3 the data for the whole back half

@@ -128,7 +128,7 @@ def fused_stream_chain(
     and scaled by 2^-16 (exact); the kernel blurs the luma plane X-pass
     first, then Y-pass; the single final quantization is floor(v + 0.5)."""
     n, h, w, c = img.shape
-    if angle_deg != 0.0 and grayscale_out:
+    if grayscale_out and (angle_deg != 0.0 or radius > 0):
         xi = img.astype(np.int64)
         lum_i = (xi[..., 1] * 38470 + xi[..., 0] * 19595) + xi[..., 2] * 7471
         v = (lum_i.astype(F32) * F32(1.0 / 65536.0))[..., None]  # [n, h, w, 1]
@@ -136,13 +136,14 @@ def fused_stream_chain(
             # kernel blur order on the luma plane: X-pass then Y-pass —
             # run _blur_f32 (axis1 then axis2) on the transposed plane
             v = _blur_f32(v.transpose(0, 2, 1, 3), radius).transpose(0, 2, 1, 3)
-        t = math.radians(-angle_deg)
-        a, b = -math.tan(t / 2.0), math.sin(t)
-        sx = _row_shifts(h, a, h / 2.0)
-        sy = _row_shifts(w, b, w / 2.0)
-        v = _shear_rows_f32(v, sx, fill)
-        v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sy, fill)
-        v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sx, fill)
+        if angle_deg != 0.0:
+            t = math.radians(-angle_deg)
+            a, b = -math.tan(t / 2.0), math.sin(t)
+            sx = _row_shifts(h, a, h / 2.0)
+            sy = _row_shifts(w, b, w / 2.0)
+            v = _shear_rows_f32(v, sx, fill)
+            v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sy, fill)
+            v = _shear_rows_f32(v.transpose(0, 2, 1, 3), sx, fill)
         out = np.floor(v + F32(0.5)).astype(np.uint8)
         return np.repeat(out, 3, axis=-1)
     x = img.astype(F32)
