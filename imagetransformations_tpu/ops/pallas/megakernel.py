@@ -20,9 +20,11 @@ Four variants share this structure:
 - ``stream=True``: f32 streaming, ONE final quantization (the fast-mode
   chain contract; oracle fast_warp.fused_stream_chain) — fewer VPU passes
   and unbiased rounding. With ``grayscale_out`` the kernel further
-  COMMUTES grayscale before the (linear) shears and runs the whole back
-  half on a single luma plane — 1/3 the data (``_mega_gray1_kernel``;
-  11+ Gpix/s on v5e at 512x512).
+  COMMUTES grayscale to the FRONT of the chain (blur and shears are all
+  linear): exact integer luma from the raw uint8 input, then blur AND the
+  three shears on a single luma plane — 1/3 the data
+  (``_mega_gray1_kernel`` / ``_luma_blur_front``; 14.0 Gpix/s on v5e at
+  512x512, parity 0 LSB).
 - ``fused_blur_rotate_batched``: per-image TRACED angles — per-run static
   rolls become a -bias pre-roll + log2(shift range) roll+select pairs,
   one executable for any angle vector (with the same gray1 variant).
