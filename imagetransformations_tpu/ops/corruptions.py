@@ -379,7 +379,7 @@ def snow(
         layer = _sample_bilinear_clamped(layer[..., None], yy, xx)[..., 0]
     layer = jnp.where(layer < F32(thresh), F32(0.0), layer)
     kern = _motion_kernels_batched(angles_deg, mb_radius, mb_sigma)  # [N,K,K]
-    layer = _grouped_conv2d_same(layer, kern)
+    layer = _grouped_conv2d(layer, kern, "edge")
     gray = x01.mean(axis=-1, keepdims=True)
     x01 = F32(blend) * x01 + (1.0 - F32(blend)) * jnp.maximum(
         x01, gray * F32(1.5) + F32(0.5)
@@ -405,19 +405,33 @@ def _motion_kernels_batched(angles_deg: jnp.ndarray, radius: int, sigma: float) 
     return wgt / wgt.sum(axis=(1, 2), keepdims=True)
 
 
-def _grouped_conv2d_same(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
-    """Per-image 2D conv: x [N,H,W], kernels [N,K,K], edge padding."""
-    n, h, w = x.shape
-    k = kernels.shape[-1]
+def _grouped_conv2d(x: jnp.ndarray, kernels, mode: str) -> jnp.ndarray:
+    """2D 'same' conv as ONE XLA grouped convolution.
+
+    x: [N,H,W] or [N,H,W,C]; kernels: [K,K] (shared across the batch) or
+    [N,K,K] (per-image, e.g. random motion-blur angles); border ``mode``
+    is a jnp.pad mode ('edge' for the snow layer, 'reflect' =
+    BORDER_REFLECT_101 for the cv2.filter2D-style ops). Images x channels
+    become feature groups, so a whole batch of different kernels is a
+    single conv call.
+    """
+    chan = x.ndim == 4
+    xv = x if chan else x[..., None]
+    n, h, w, c = xv.shape
+    kj = jnp.asarray(kernels)
+    k = kj.shape[-1]
     r = k // 2
-    xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")
-    lhs = xp[None]  # [1, N, H+2r, W+2r]: batch of 1, N feature groups
-    rhs = kernels[:, None]  # [N, 1, K, K]
+    if kj.ndim == 2:
+        rhs = jnp.broadcast_to(kj, (n * c, 1, k, k))
+    else:
+        rhs = jnp.repeat(kj, c, axis=0)[:, None]  # [N*C, 1, K, K]
+    xp = jnp.pad(xv, ((0, 0), (r, r), (r, r), (0, 0)), mode=mode)
+    lhs = xp.transpose(0, 3, 1, 2).reshape(1, n * c, h + 2 * r, w + 2 * r)
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, (1, 1), "VALID", feature_group_count=n,
+        lhs, rhs, (1, 1), "VALID", feature_group_count=n * c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0]
+    ).reshape(n, c, h, w).transpose(0, 2, 3, 1)
+    return out if chan else out[..., 0]
 
 
 # ------------------------------------------- photometric (CIFAR-10-C exact)
@@ -452,21 +466,6 @@ def brightness_hsv(img: jnp.ndarray, c: float) -> jnp.ndarray:
 # ------------------------------------------- defocus (disk PSF, CIFAR-10-C)
 
 
-def _conv2d_same_rgb(x01: jnp.ndarray, kern: np.ndarray) -> jnp.ndarray:
-    """[N,H,W,C] f32 conv with one static [K,K] kernel, reflect-101 border
-    (cv2.filter2D default). Channels via feature groups — one XLA conv."""
-    n, h, w, c = x01.shape
-    r = kern.shape[0] // 2
-    xp = jnp.pad(x01, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
-    lhs = xp.transpose(0, 3, 1, 2).reshape(1, n * c, h + 2 * r, w + 2 * r)
-    rhs = jnp.broadcast_to(jnp.asarray(kern, F32), (n * c, 1, kern.shape[0], kern.shape[1]))
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, (1, 1), "VALID", feature_group_count=n * c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out.reshape(n, c, h, w).transpose(0, 2, 3, 1)
-
-
 @op_jit(static=("radius", "alias_blur"))
 def defocus_blur_disk(img: jnp.ndarray, radius: float, alias_blur: float) -> jnp.ndarray:
     """CIFAR-10-C defocus: anti-aliased disk PSF (Hendrycks disk()) applied
@@ -478,7 +477,7 @@ def defocus_blur_disk(img: jnp.ndarray, radius: float, alias_blur: float) -> jnp
 
     x, single = as_batch(img)
     k = disk_kernel(float(radius), float(alias_blur))
-    out = _conv2d_same_rgb(x.astype(F32) / F32(255.0), k)
+    out = _grouped_conv2d(x.astype(F32) / F32(255.0), k.astype(np.float32), "reflect")
     return restore_layout(_u8(jnp.clip(out, 0.0, 1.0)), single)
 
 
@@ -500,16 +499,7 @@ def motion_blur_directional(
     else:
         angles_deg = jnp.atleast_1d(jnp.asarray(angles_deg, F32))
     kern = _motion_kernels_batched(angles_deg, int(radius), float(sigma))  # [N,K,K]
-    k = kern.shape[-1]
-    r = k // 2
-    x01 = x.astype(F32) / F32(255.0)
-    xp = jnp.pad(x01, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
-    lhs = xp.transpose(0, 3, 1, 2).reshape(1, n * c, h + 2 * r, w + 2 * r)
-    rhs = jnp.repeat(kern, c, axis=0)[:, None]  # [N*C, 1, K, K]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, (1, 1), "VALID", feature_group_count=n * c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    ).reshape(n, c, h, w).transpose(0, 2, 3, 1)
+    out = _grouped_conv2d(x.astype(F32) / F32(255.0), kern, "reflect")
     return restore_layout(_u8(jnp.clip(out, 0.0, 1.0)), single)
 
 
@@ -551,10 +541,14 @@ def _fold101(c: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def _foldsym(c: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Symmetric (edge-repeated) fold — scipy map_coordinates mode='reflect'."""
+    """Symmetric (edge-repeated) continuous-coordinate fold — scipy
+    map_coordinates mode='reflect'. The reflection axis sits at -0.5 (the
+    reflected sample arr[-1] equals arr[0]), so fold the +0.5-shifted
+    coordinate about the 2*size period: coordinate -1 maps to 0,
+    -1.75 to 0.75 (verified against scipy)."""
     period = F32(2 * size)
-    c = jnp.abs(c) % period
-    return jnp.minimum(c, period - 1 - c)
+    t = (c + F32(0.5)) % period
+    return jnp.minimum(t, period - t) - F32(0.5)
 
 
 @op_jit(static=("alpha", "sigma", "alpha_affine"))

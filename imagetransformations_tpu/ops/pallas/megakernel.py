@@ -318,14 +318,26 @@ def _luma_blur_front(x_ref, h: int, wc: int, c: int, lsx: int,
     transpose that also folds in the shear fill margins, Y-pass in
     [h, lsx] (the 0-fill margin lanes blur to 0 = fill). Returns the
     blurred luma [h, lsx] ready for shear pass 1.
+
+    The uint8 transpose + reshape-split needs int8-tileable layouts: the
+    lane dim must be a 128-multiple or Mosaic rejects the shape cast
+    ("infer-vector-layout: unsupported shape cast" on 672x224 i8, found
+    at 224x224). Unaligned shapes cast to int32 FIRST and transpose/split
+    in i32 (f32-class relayouts handle any lane count — the pre-luma-first
+    kernels ran 224 this way).
     """
     w = wc // c
-    xt = jnp.swapaxes(x_ref[0], 0, 1)  # [wc, h] u8
-    xr = xt.reshape(w, c, h)
-    lum_i = (
-        xr[:, 1, :].astype(jnp.int32) * 38470
-        + xr[:, 0, :].astype(jnp.int32) * 19595
-    ) + xr[:, 2, :].astype(jnp.int32) * 7471
+    if h % 128 == 0 and wc % 128 == 0:
+        xt = jnp.swapaxes(x_ref[0], 0, 1)  # [wc, h] u8 (1/4-cost relayout)
+        xr = xt.reshape(w, c, h)
+        r_i = xr[:, 0, :].astype(jnp.int32)
+        g_i = xr[:, 1, :].astype(jnp.int32)
+        b_i = xr[:, 2, :].astype(jnp.int32)
+    else:
+        xi = jnp.swapaxes(x_ref[0].astype(jnp.int32), 0, 1)  # [wc, h] i32
+        xr = xi.reshape(w, c, h)
+        r_i, g_i, b_i = xr[:, 0, :], xr[:, 1, :], xr[:, 2, :]
+    lum_i = (g_i * 38470 + r_i * 19595) + b_i * 7471
     lum = lum_i.astype(jnp.float32) * jnp.float32(1.0 / 65536.0)  # [w, h]
 
     p = (len(taps) - 1) // 2
@@ -500,7 +512,6 @@ def _mega_traced_kernel(
     margin / transpose structure, shear shifts from per-image inputs."""
     fillf = float(fill)
     w = wc // c
-    xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
 
     p = (len(taps) - 1) // 2
     if p:
@@ -536,7 +547,11 @@ def _mega_traced_kernel(
         content = maybe_rint(jnp.swapaxes(accw, 0, 1))  # [h, ls1]
     else:
         content = jnp.concatenate(
-            [xf, jnp.full((h, ls1 - wc), fillf)], axis=1
+            [
+                x_ref[0].astype(jnp.int32).astype(jnp.float32),
+                jnp.full((h, ls1 - wc), fillf),
+            ],
+            axis=1,
         )
 
     k1c = k1_ref[0, :, :1]
@@ -560,17 +575,13 @@ def _mega_traced_kernel(
     o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("radius", "fill", "grayscale_out", "stream", "max_angle_deg"),
-)
 def fused_blur_rotate_batched(
     img: jnp.ndarray,
     radius: float,
     angles_deg: jnp.ndarray,
     fill: int = 0,
     grayscale_out: bool = False,
-    stream: bool = True,
+    stream: bool = False,
     max_angle_deg: float = 22.5,
 ) -> jnp.ndarray:
     """Fused blur -> 3-shear rotation (-> grayscale) with PER-IMAGE TRACED
@@ -580,13 +591,48 @@ def fused_blur_rotate_batched(
     whole chain VMEM-resident — replaces the blur + rotate_3shear_batched
     two-kernel path (each pass of which round-trips HBM).
 
-    Semantics match fused_blur_rotate_image (stream or per-op quantized);
-    costs ~2x the static-angle kernel (log-routed shifts: ~log2(shift
-    range) roll+select pairs per shear instead of static run rolls).
-    Angles are CLAMPED to +-max_angle_deg — a shift beyond the static
-    routing budget would otherwise silently emit unmatched-select garbage
-    (the rotate_gather failure mode ADVICE r2 flagged).
+    Semantics match fused_blur_rotate_image, including the stream=False
+    default (per-op reference-parity quantization); pass stream=True for
+    the f32-streaming fast-chain contract. Costs ~2x the static-angle
+    kernel (log-routed shifts: ~log2(shift range) roll+select pairs per
+    shear instead of static run rolls).
+
+    Concrete angle vectors beyond the budget raise ValueError; tracer
+    angles (uninspectable) are CLAMPED to +-max_angle_deg — a shift
+    beyond the static routing budget would otherwise silently emit
+    unmatched-select garbage (the rotate_gather failure mode ADVICE r2
+    flagged).
     """
+    # this wrapper is NOT jitted so the budget check sees concrete values
+    # (the jitted body below would only ever see tracers); tracer angles
+    # from an enclosing jit skip the check and rely on the clamp
+    if not isinstance(angles_deg, jax.core.Tracer):
+        amax = float(np.abs(np.asarray(angles_deg)).max())
+        if amax > float(max_angle_deg) + 1e-6:
+            raise ValueError(
+                f"fused_blur_rotate_batched: max |angle| {amax} exceeds the "
+                f"static routing budget max_angle_deg={max_angle_deg}; raise "
+                f"the budget or use the exact warp"
+            )
+    return _fused_blur_rotate_batched_jit(
+        img, radius, jnp.asarray(angles_deg, jnp.float32), fill=fill,
+        grayscale_out=grayscale_out, stream=stream, max_angle_deg=max_angle_deg,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "fill", "grayscale_out", "stream", "max_angle_deg"),
+)
+def _fused_blur_rotate_batched_jit(
+    img: jnp.ndarray,
+    radius: float,
+    angles_deg: jnp.ndarray,
+    fill: int,
+    grayscale_out: bool,
+    stream: bool,
+    max_angle_deg: float,
+) -> jnp.ndarray:
     n, h, w, c = img.shape
     wc = w * c
     ang = jnp.clip(

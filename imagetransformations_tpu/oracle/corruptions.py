@@ -142,9 +142,12 @@ def zoom_blur(img_u8: np.ndarray, max_zoom: float, step: float = 0.01) -> np.nda
 
 
 def zoom_factors(max_zoom: float, step: float = 0.01) -> np.ndarray:
-    """arange(1, max_zoom, step): INCLUDES 1.0, EXCLUDES max_zoom (the
-    Hendrycks factor list; z=1 is the identity)."""
-    return np.round(np.arange(1.0, max_zoom - 1e-9, step), 6)
+    """np.arange(1, max_zoom, step) — LITERALLY, float-ulp overshoot
+    included: the real generator's arange(1, 1.06, 0.01) yields SEVEN
+    factors ending at ~1.06 (and arange(1, 1.11, ...) twelve), so a
+    "clean" half-open grid would drop the strongest zoom layer at
+    severities 1-2. z=1 is the identity (the clean image counts twice)."""
+    return np.arange(1.0, max_zoom, step)
 
 
 # ------------------------------------------------------------- glass blur
@@ -635,9 +638,10 @@ def elastic_transform_affine(
         dx = gauss_blur_sigma(disp[..., 1].astype(F32), sigma) * F32(alpha)
         # scipy map_coordinates mode='reflect' = symmetric (edge repeated)
         def foldsym(c, size):
+            # scipy mode='reflect': reflection axis at -0.5 (arr[-1]==arr[0])
             period = 2 * size
-            c = np.abs(c) % period
-            return np.minimum(c, period - 1 - c)
+            t = (c + F32(0.5)) % period
+            return np.minimum(t, period - t) - F32(0.5)
 
         out = _sample_bilinear_clamped(aff, foldsym(yy + dy, h), foldsym(xx + dx, w))
     else:

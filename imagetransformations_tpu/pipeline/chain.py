@@ -222,18 +222,6 @@ def build_chain_fn(
                         x, radius, angle, grayscale_out=fuse_gray, stream=True
                     )
                 i += consumed
-            elif (
-                not strict_parity
-                and spec.name == "rotation"
-                and not isinstance(spec.params["angle"], (int, float))
-                and x.dtype == jnp.uint8
-            ):
-                # per-image angle vector: one compiled per-image 3-shear
-                # executable (any angles |a|<=45), replacing the gather warp
-                from imagetransformations_tpu.ops.pallas.shear import rotate_3shear_batched
-
-                x = rotate_3shear_batched(x, spec.params["angle"])
-                i += 1
             elif not strict_parity and spec.name in _AFFINE_OPS:
                 # collect the maximal affine run; fuse MULTI-op runs into one
                 # gather (one resampling instead of k). Single ops go to their
@@ -245,11 +233,16 @@ def build_chain_fn(
                     j += 1
                 if j == i + 1:
                     if spec.name == "rotation":
-                        # only rotations the kernels rejected reach here
-                        # (static |angle|>45, or float images): keep the
-                        # single matrix-warp resample — falling through to
+                        # only rotations the kernels rejected reach here:
+                        # static |angle|>45, float images, enclosing-jit
+                        # TRACERS, and concrete angle arrays beyond the
+                        # +-45 routing budget. The matrix warp handles
+                        # traced angle arrays and any magnitude correctly
+                        # (rotation_matrix is batched) — routing them to a
+                        # roll/select kernel past its pad budget would
+                        # silently wrap garbage into the image, and
                         # apply_rotation's PIL-parity NEAREST gather costs
-                        # ~525 ms/batch and silently changes warp_method
+                        # ~525 ms/batch
                         x = wp.affine_warp(
                             x, _affine_matrix(spec, w, h), method=warp_method, fill=0.0
                         )

@@ -57,6 +57,8 @@ def load_real() -> dict[str, dict[int, np.ndarray]]:
     out: dict[str, dict[int, np.ndarray]] = {}
     for f in sorted(glob.glob(os.path.join(STORE, "*.png"))):
         m = re.match(r"(.+)_severity\d_idx(\d+)\.png", os.path.basename(f))
+        if m is None:  # skip stray files with unexpected names
+            continue
         corr, idx = m.group(1), int(m.group(2))
         out.setdefault(corr, {})[idx] = np.asarray(Image.open(f).convert("RGB"))
     return out
