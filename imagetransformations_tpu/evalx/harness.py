@@ -121,11 +121,28 @@ CORRUPTIONS: dict[str, tuple[Callable, list]] = {
     ),
 }
 
-#: non-canonical extras (reference transformation.py grids), usable by name
+#: non-canonical extras, usable by name. The first four complete the
+#: reference's CIFAR-10-C store to 19/19 generatable corruptions
+#: (/root/reference/CIFAR-10-C/store/ holds gaussian_blur, saturate,
+#: spatter and speckle_noise samples beyond the canonical 15).
 EXTRA_CORRUPTIONS: dict[str, tuple[Callable, list]] = {
+    "speckle_noise": (
+        lambda x, v, k: cr.speckle_noise(x, v, key=k),
+        cr.SPECKLE_SEV,
+    ),
+    "gaussian_blur": (
+        lambda x, v, k: cr.gaussian_blur_sigma_op(x, float(v)),
+        cr.GAUSSIAN_BLUR_SEV,
+    ),
+    "spatter": (
+        lambda x, v, k: cr.spatter(x, *v, key=k),
+        cr.SPATTER_SEV,
+    ),
     "saturate": (
-        lambda x, v, k: ew.enhance_color(x, float(v)),
-        [0.6, 0.4, 0.25, 1.8, 2.5],
+        # HSV-saturation scale/shift (the CIFAR-10-C recipe); PIL
+        # enhance_color remains as the TransformationPool op (ew)
+        lambda x, v, k: cr.saturate_hsv(x, *v),
+        cr.SATURATE_SEV,
     ),
     "rotation": (
         lambda x, v, k: wp.apply_rotation(x, float(v)),

@@ -741,3 +741,103 @@ def jpeg_compression(img: jnp.ndarray, quality: int) -> jnp.ndarray:
     out = jnp.stack([ro, go, bo], axis=-1)
     out = jnp.clip(jnp.rint(out), 0.0, 255.0).astype(jnp.uint8)
     return restore_layout(out, single)
+
+
+# --------------------------- remaining store corruptions (19/19 coverage)
+
+#: CIFAR-10-C severities for the four non-canonical store corruptions
+SPECKLE_SEV = [0.06, 0.1, 0.12, 0.16, 0.2]
+GAUSSIAN_BLUR_SEV = [0.4, 0.6, 0.7, 0.8, 1.0]
+#: (zq, sigma, opacity, mud): z-quantile threshold of the smoothed liquid
+#: field, smoothing sigma, blend opacity, water/mud; severity 1 calibrated
+#: against the real severity-1 spatter samples (residual std ~11)
+SPATTER_SEV = [
+    (1.6, 0.7, 0.55, False),
+    (1.45, 0.8, 0.55, False),
+    (1.3, 1.0, 0.6, False),
+    (1.3, 0.7, 0.65, True),
+    (1.15, 0.5, 0.65, True),
+]
+#: (a, b): s' = clip(a*s + b) HSV-saturation severities (CIFAR-10-C)
+SATURATE_SEV = [(0.3, 0.0), (0.1, 0.0), (1.5, 0.0), (2.0, 0.1), (2.5, 0.2)]
+
+
+@op_jit
+def speckle_noise(img: jnp.ndarray, c, key=None, noise=None) -> jnp.ndarray:
+    """CIFAR-10-C speckle: clip(x + x*N(0,c)) on [0,1] (multiplicative
+    noise). oracle.corruptions.speckle_noise; SPECKLE_SEV."""
+    x, single = as_batch(img)
+    if noise is None:
+        noise = jax.random.normal(key, x.shape, F32)
+    else:
+        noise = jnp.asarray(noise, F32)
+        if noise.ndim == 3:
+            noise = noise[None]
+    cv = jnp.asarray(c, F32)
+    if cv.ndim == 0:
+        cv = jnp.broadcast_to(cv, (x.shape[0],))
+    x01 = x.astype(F32) / F32(255.0)
+    out = jnp.clip(x01 + x01 * (noise * cv.reshape(-1, 1, 1, 1)), 0.0, 1.0)
+    return restore_layout(_u8(out), single)
+
+
+@op_jit(static=("sigma",))
+def gaussian_blur_sigma_op(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """CIFAR-10-C gaussian_blur: sampled-Gaussian separable blur on [0,1]
+    (edge border). oracle.corruptions.gaussian_blur_sigma_u8;
+    GAUSSIAN_BLUR_SEV."""
+    x, single = as_batch(img)
+    out = jnp.clip(_sep_gauss(x.astype(F32) / F32(255.0), float(sigma)), 0.0, 1.0)
+    return restore_layout(_u8(out), single)
+
+
+@op_jit(static=("zq", "sigma", "opacity", "mud"))
+def spatter(
+    img: jnp.ndarray,
+    zq: float,
+    sigma: float,
+    opacity: float,
+    mud: bool,
+    key=None,
+    g_noise=None,
+) -> jnp.ndarray:
+    """CIFAR-10-C-style spatter: smoothed Gaussian liquid field,
+    z-normalized PER IMAGE and thresholded at the zq quantile level,
+    blended as water (blue tint) or mud (brown) over the covered region.
+    oracle.corruptions.spatter; SPATTER_SEV."""
+    x, single = as_batch(img)
+    n, h, w, _ = x.shape
+    if g_noise is None:
+        g_noise = jax.random.normal(key, (n, h, w), F32)
+    else:
+        g_noise = jnp.asarray(g_noise, F32)
+        if g_noise.ndim == 2:
+            g_noise = g_noise[None]
+    x01 = x.astype(F32) / F32(255.0)
+    field = _sep_gauss(g_noise[..., None], float(sigma))[..., 0]
+    mu = field.mean(axis=(1, 2), keepdims=True)
+    sd = jnp.maximum(field.std(axis=(1, 2), keepdims=True), F32(1e-6))
+    z = (field - mu) / sd
+    m = jnp.clip((z - F32(zq)) * F32(3.0), 0.0, 1.0)[..., None]
+    if mud:
+        color = jnp.asarray([63.0, 42.0, 20.0], F32) / F32(255.0)
+    else:
+        color = jnp.asarray([175.0, 238.0, 238.0], F32) / F32(255.0)
+    out = x01 * (1.0 - F32(opacity) * m) + color.reshape(1, 1, 1, 3) * (F32(opacity) * m)
+    return restore_layout(_u8(jnp.clip(out, 0.0, 1.0)), single)
+
+
+@op_jit(static=("a", "b"))
+def saturate_hsv(img: jnp.ndarray, a: float, b: float) -> jnp.ndarray:
+    """CIFAR-10-C saturate: s' = clip(a*s + b) on the HSV saturation
+    channel — collapses to rgb' = v - (v - rgb)*(s'/s) with H, V fixed.
+    oracle.corruptions.saturate_hsv; SATURATE_SEV."""
+    x, single = as_batch(img)
+    x01 = x.astype(F32) / F32(255.0)
+    v = x01.max(axis=-1, keepdims=True)
+    mn = x01.min(axis=-1, keepdims=True)
+    s = jnp.where(v > 0, (v - mn) / jnp.maximum(v, F32(1e-12)), F32(0.0))
+    s2 = jnp.clip(F32(a) * s + F32(b), 0.0, 1.0)
+    ratio = jnp.where(s > 0, s2 / jnp.maximum(s, F32(1e-12)), F32(0.0))
+    out = v - (v - x01) * ratio
+    return restore_layout(_u8(jnp.clip(out, 0.0, 1.0)), single)

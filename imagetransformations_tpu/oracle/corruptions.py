@@ -647,3 +647,66 @@ def elastic_transform_affine(
     else:
         out = aff
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ------------------------------- remaining store corruptions (to 19/19)
+
+
+def speckle_noise(img_u8: np.ndarray, c: float, noise: np.ndarray) -> np.ndarray:
+    """CIFAR-10-C speckle: clip(x + x*N(0,c)) on [0,1]. noise: randn [H,W,C]."""
+    x01 = img_u8.astype(F32) / F32(255.0)
+    return _u8(np.clip(x01 + x01 * (noise.astype(F32) * F32(c)), 0.0, 1.0))
+
+
+def gaussian_blur_sigma_u8(img_u8: np.ndarray, sigma: float) -> np.ndarray:
+    """CIFAR-10-C gaussian_blur: skimage-style sampled-Gaussian separable
+    blur (edge-replicate border) on [0,1], sigma in px."""
+    x01 = img_u8.astype(F32) / F32(255.0)
+    return _u8(np.clip(gauss_blur_sigma(x01, sigma), 0.0, 1.0))
+
+
+def spatter(
+    img_u8: np.ndarray,
+    zq: float,
+    sigma: float,
+    opacity: float,
+    mud: bool,
+    g_noise: np.ndarray,
+) -> np.ndarray:
+    """CIFAR-10-C-style spatter: a smoothed Gaussian liquid field,
+    z-NORMALIZED per image and thresholded at the ``zq`` quantile level
+    (smoothing shrinks the raw field's variance, so an absolute threshold
+    would leave almost no liquid); WATER (mud=False) blends a blue-tinted
+    layer over the covered region, MUD a brown one. g_noise: randn [H,W].
+
+    Semantics re-derived (the original uses cv2 Canny-distance color
+    machinery for water highlights; this keeps the liquid-field geometry
+    and the color/opacity treatment, calibrated against the real
+    severity-1 sample statistics: ~5% coverage, residual std ~11).
+    """
+    x01 = img_u8.astype(F32) / F32(255.0)
+    field = gauss_blur_sigma(g_noise.astype(F32), sigma)
+    z = (field - field.mean()) / max(float(field.std()), 1e-6)
+    m = np.clip((z - F32(zq)) * F32(3.0), 0.0, 1.0)[..., None]
+    if mud:
+        color = np.asarray([63.0 / 255.0, 42.0 / 255.0, 20.0 / 255.0], F32)
+    else:
+        color = np.asarray([175.0 / 255.0, 238.0 / 255.0, 238.0 / 255.0], F32)
+    layer = color.reshape(1, 1, 3).astype(F32)
+    out = x01 * (1.0 - F32(opacity) * m) + layer * (F32(opacity) * m)
+    return _u8(np.clip(out, 0.0, 1.0))
+
+
+def saturate_hsv(img_u8: np.ndarray, a: float, b: float) -> np.ndarray:
+    """CIFAR-10-C saturate: scale/shift the HSV saturation channel,
+    s' = clip(a*s + b). With H and V fixed, (v - rgb) is proportional to
+    s, so the round-trip collapses to rgb' = v - (v - rgb) * (s'/s)
+    (s = (v - min)/v; v = max(rgb); gray pixels are unchanged)."""
+    x01 = img_u8.astype(F32) / F32(255.0)
+    v = x01.max(axis=-1, keepdims=True)
+    mn = x01.min(axis=-1, keepdims=True)
+    s = np.where(v > 0, (v - mn) / np.maximum(v, F32(1e-12)), F32(0.0))
+    s2 = np.clip(F32(a) * s + F32(b), 0.0, 1.0)
+    ratio = np.where(s > 0, s2 / np.maximum(s, F32(1e-12)), F32(0.0))
+    out = v - (v - x01) * ratio
+    return _u8(np.clip(out, 0.0, 1.0))

@@ -195,3 +195,21 @@ def test_all_generators_degrade_classifier_monotonically(pretrained, natural_bat
         if not (agree[4] < agree[0] and drop_total >= 0.02 and max_rebound <= 0.06):
             failures.append((name, [round(a, 3) for a in agree]))
     assert not failures, failures
+
+
+def test_extra_store_corruptions_match_real(fidelity_stats):
+    """The four non-canonical store corruptions (19/19 coverage):
+    spatter/saturate calibrated to the real severity-1 samples;
+    speckle/gaussian_blur tracked by their statistical signatures (the
+    real residual column carries ~6 LSB of base-approximation error)."""
+    st = fidelity_stats["spatter"]
+    assert 0.6 * st["real"]["resid_std"] <= st["ours"]["resid_std"] <= 1.6 * st["real"]["resid_std"]
+    st = fidelity_stats["saturate"]
+    assert abs(st["ours"]["mean_shift"] - st["real"]["mean_shift"]) <= 5.0
+    assert 0.6 * st["real"]["resid_std"] <= st["ours"]["resid_std"] <= 1.5 * st["real"]["resid_std"]
+    st = fidelity_stats["speckle_noise"]
+    assert st["ours"]["hf_ratio"] > 1.0
+    assert 0.4 * st["real"]["resid_std"] <= st["ours"]["resid_std"] <= 1.5 * st["real"]["resid_std"]
+    st = fidelity_stats["gaussian_blur"]
+    assert st["ours"]["hf_ratio"] < 1.0
+    assert abs(st["ours"]["hf_ratio"] - st["real"]["hf_ratio"]) <= 0.25

@@ -320,3 +320,44 @@ def test_clipped_zoom_matches_scipy(rng):
         ref = sci[trim:trim + h, trim:trim + h]
         out = oc.clipped_zoom_f32(img, z)
         assert np.abs(out - ref).max() < 0.5
+
+
+def test_speckle_noise_matches_oracle(rng):
+    imgs = _batch(rng)
+    noise = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+    for c in (0.06, 0.2):
+        out = np.asarray(cr.speckle_noise(jnp.asarray(imgs), c, noise=jnp.asarray(noise)))
+        ref = np.stack([oc.speckle_noise(imgs[i], c, noise[i]) for i in range(3)])
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_gaussian_blur_sigma_matches_oracle(rng):
+    imgs = _batch(rng)
+    for s in cr.GAUSSIAN_BLUR_SEV[::2]:
+        out = np.asarray(cr.gaussian_blur_sigma_op(jnp.asarray(imgs), float(s)))
+        ref = np.stack([oc.gaussian_blur_sigma_u8(im, float(s)) for im in imgs])
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_spatter_matches_oracle(rng):
+    imgs = _batch(rng)
+    g = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    for sev in (1, 5):
+        p = cr.SPATTER_SEV[sev - 1]
+        out = np.asarray(cr.spatter(jnp.asarray(imgs), *p, g_noise=jnp.asarray(g)))
+        ref = np.stack([oc.spatter(imgs[i], *p, g_noise=g[i]) for i in range(3)])
+        assert _max_lsb(out, ref) <= 1
+
+
+def test_saturate_hsv_matches_oracle_and_skimage(rng):
+    imgs = _batch(rng)
+    for a, b in (cr.SATURATE_SEV[0], cr.SATURATE_SEV[4]):
+        out = np.asarray(cr.saturate_hsv(jnp.asarray(imgs), a, b))
+        ref = np.stack([oc.saturate_hsv(im, a, b) for im in imgs])
+        assert _max_lsb(out, ref) <= 1
+    sk = pytest.importorskip("skimage.color")
+    img = imgs[0]
+    hsv = sk.rgb2hsv(img.astype(np.float64) / 255.0)
+    hsv[..., 1] = np.clip(hsv[..., 1] * 2.0 + 0.1, 0, 1)
+    ref2 = np.clip(np.rint(np.clip(sk.hsv2rgb(hsv), 0, 1) * 255), 0, 255).astype(np.uint8)
+    assert _max_lsb(oc.saturate_hsv(img, 2.0, 0.1), ref2) <= 1

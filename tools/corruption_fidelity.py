@@ -50,6 +50,9 @@ CANONICAL = (
     "brightness", "contrast", "elastic_transform", "pixelate",
     "jpeg_compression",
 )
+#: the store's four non-canonical corruptions — generated too (19/19)
+EXTRAS = ("speckle_noise", "gaussian_blur", "spatter", "saturate")
+ALL19 = CANONICAL + EXTRAS
 
 
 def load_real() -> dict[str, dict[int, np.ndarray]]:
@@ -99,7 +102,7 @@ def generate_ours(bases: dict[int, np.ndarray], severity: int = 1):
     batch = jnp.asarray(np.stack([bases[i] for i in BASE_IDS]))
     key = jax.random.PRNGKey(0)
     out = {}
-    for name in CANONICAL:
+    for name in ALL19:
         gen = np.asarray(corrupt(batch, name, severity, key))
         out[name] = {i: gen[k] for k, i in enumerate(BASE_IDS)}
     return out
@@ -108,7 +111,7 @@ def generate_ours(bases: dict[int, np.ndarray], severity: int = 1):
 def compare(real: dict, bases: dict, ours: dict) -> dict[str, dict]:
     """Per-corruption mean statistics for real-vs-base and ours-vs-base."""
     report: dict[str, dict] = {}
-    for name in CANONICAL:
+    for name in ALL19:
         rs, os_, ps = [], [], []
         for i in BASE_IDS:
             rs.append(stats_vs_base(real[name][i], bases[i]))
@@ -129,9 +132,9 @@ def sample_sheet(real: dict, bases: dict, ours: dict, path: str) -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    n = len(CANONICAL)
+    n = len(ALL19)
     fig, axes = plt.subplots(n, 3, figsize=(4.2, 1.35 * n))
-    for r, name in enumerate(CANONICAL):
+    for r, name in enumerate(ALL19):
         for col, (img, title) in enumerate(
             [
                 (bases[0], "base (approx clean)"),
