@@ -59,3 +59,41 @@ def sharded_apply(
 def psum_mean(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Cross-chip mean for metric reductions inside shard_map bodies."""
     return jax.lax.psum(jnp.mean(x), axis_name) / jax.lax.psum(1.0, axis_name)
+
+
+def sharded_chain_fn(
+    chain,
+    mesh: Mesh,
+    axis: str = "data",
+    **build_kwargs,
+):
+    """Batch-data-parallel FUSED chain: each device runs the whole Pallas
+    pipeline (megakernel included) on its local batch shard.
+
+    ``sharded_apply`` relies on XLA partitioning plain jnp ops — fine for
+    elementwise chains, but a ``pallas_call`` is a custom call that the
+    partitioner does NOT split along the batch grid: with merely-sharded
+    operands XLA inserts an all-gather and runs the kernel replicated.
+    This wrapper is therefore load-bearing for the fused fast path: it
+    ``shard_map``s the chain over ``mesh[axis]`` so every chip launches its
+    own kernel on its own shard — a pure map, zero collectives on ICI.
+
+    The global batch must divide the axis size. Returns a jitted
+    ``images -> images`` callable; outputs keep the input sharding.
+
+    Replaces (at scale) the reference's only parallelism, a torch
+    DataParallel wrap (attacks/fgsm.py:58); validated bit-identical to the
+    unsharded chain on an 8-device mesh (tests/test_models_pipeline.py and
+    the driver's dryrun_multichip gate).
+    """
+    from imagetransformations_tpu.pipeline.chain import build_chain_fn
+
+    fn = build_chain_fn(chain, jit=False, **build_kwargs)
+    spec = P(axis)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the vma checker (on by default) rejects
+    mapped = jax.shard_map(
+        lambda x: fn(x), mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -133,6 +133,29 @@ def test_sharded_apply_8_devices(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_sharded_chain_fn_megakernel_8_devices(rng):
+    """The fused Pallas chain under shard_map (one kernel launch per device
+    on its local shard) must be bit-identical to the unsharded chain — the
+    true multi-chip path for the flagship kernel (a pallas_call under plain
+    jit with sharded operands is all-gathered, not partitioned)."""
+    from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
+    from imagetransformations_tpu.pipeline.sharding import (
+        data_mesh, shard_images, sharded_chain_fn,
+    )
+
+    assert len(jax.devices()) == 8, "conftest should give 8 CPU devices"
+    mesh = data_mesh()
+    chain = [
+        OpSpec("blur", {"radius": 1.5}),
+        OpSpec("rotation", {"angle": 15.0}),
+        OpSpec("grayscale"),
+    ]
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 40, 48, 3), dtype=np.uint8))
+    out = np.asarray(sharded_chain_fn(chain, mesh)(shard_images(imgs, mesh)))
+    ref = np.asarray(build_chain_fn(chain)(imgs))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_io_roundtrip(tmp_path, rng):
     from imagetransformations_tpu.pipeline.io import (
         load_cifar10c_npy, load_folder_images, save_batch_images, walk_image_files,
