@@ -4,4 +4,5 @@ from imagetransformations_tpu.evalx.harness import (  # noqa: F401
     corrupt,
     corruption_sweep,
     evaluate_batched,
+    evaluate_sharded,
 )

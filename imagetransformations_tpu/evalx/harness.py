@@ -163,23 +163,13 @@ def corrupt(
     return fn(images_u8, sevs[severity - 1], key)
 
 
-def evaluate_batched(
-    model_fn: Callable[[jnp.ndarray], jnp.ndarray],
-    to_model_space: Callable[[jnp.ndarray], jnp.ndarray],
-    images_u8: jnp.ndarray,
-    labels: jnp.ndarray,
-    batch_size: int = 256,
-    metric_names: tuple[str, ...] = (
-        "shannon_entropy", "msp", "least_confidence", "margin", "ratio",
-        "max_logit", "energy", "doctor_alpha", "doctor_beta",
-    ),
-):
-    """Accuracy + per-sample metric arrays over a dataset (batched forwards)."""
-    all_logits = []
-    for i in range(0, images_u8.shape[0], batch_size):
-        xb = to_model_space(images_u8[i : i + batch_size])
-        all_logits.append(model_fn(xb))
-    logits = jnp.concatenate(all_logits)
+DEFAULT_METRICS: tuple[str, ...] = (
+    "shannon_entropy", "msp", "least_confidence", "margin", "ratio",
+    "max_logit", "energy", "doctor_alpha", "doctor_beta",
+)
+
+
+def _finalize_eval(logits, labels, metric_names):
     pred = jnp.argmax(logits, axis=-1)
     correct = (pred == labels).astype(jnp.float32)
     metrics = {m: um.LOGIT_METRICS[m](logits) for m in metric_names}
@@ -189,6 +179,88 @@ def evaluate_batched(
         "logits": logits,
         "metrics": metrics,
     }
+
+
+def evaluate_batched(
+    model_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    to_model_space: Callable[[jnp.ndarray], jnp.ndarray],
+    images_u8: jnp.ndarray,
+    labels: jnp.ndarray,
+    batch_size: int = 256,
+    metric_names: tuple[str, ...] = DEFAULT_METRICS,
+):
+    """Accuracy + per-sample metric arrays over a dataset (batched forwards)."""
+    all_logits = []
+    for i in range(0, images_u8.shape[0], batch_size):
+        xb = to_model_space(images_u8[i : i + batch_size])
+        all_logits.append(model_fn(xb))
+    return _finalize_eval(jnp.concatenate(all_logits), labels, metric_names)
+
+
+def evaluate_sharded(
+    model_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    to_model_space: Callable[[jnp.ndarray], jnp.ndarray],
+    images_u8: jnp.ndarray,
+    labels: jnp.ndarray,
+    mesh,
+    axis: str = "data",
+    batch_size: int | None = None,
+    metric_names: tuple[str, ...] = DEFAULT_METRICS,
+    corrupt_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray] | None = None,
+    key: jax.Array | None = None,
+):
+    """Data-parallel ``evaluate_batched`` over a device mesh (SURVEY §2.11).
+
+    The batch dim is sharded over ``mesh[axis]``; GSPMD partitions the
+    (plain-XLA) corruption generator + preprocess + model forward so every
+    chip computes logits for its own shard — a pure map, no collectives
+    until the host-side accuracy mean. The reference analogue is the lone
+    torch DataParallel wrap (attacks/fgsm.py:58); unlike its master-device
+    scatter/gather, inputs here are placed shard-by-shard and the per-sample
+    metric arrays stay device-sharded until fetched.
+
+    ``corrupt_fn(images_u8, key) -> images_u8`` (optional) runs INSIDE the
+    sharded jit, so corruption generation is also data-parallel and
+    bit-identical to the unsharded path (same key, per-sample math is
+    untouched by batch partitioning). Pallas-backed ops are NOT partitioned
+    by GSPMD (use ``pipeline.sharding.sharded_chain_fn`` for the fused
+    chain); all canonical corruption generators are plain XLA and partition
+    cleanly.
+
+    Each global batch is padded to a multiple of the axis size with leading
+    rows; the padded tail is trimmed from the logits.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.shape[axis]
+    n = int(images_u8.shape[0])
+    if batch_size is None:
+        batch_size = n
+    batch_size = max(int(batch_size), ndev)
+    sharding = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def fwd(xb, k):
+        if corrupt_fn is not None:
+            xb = corrupt_fn(xb, k)
+        logits = model_fn(to_model_space(xb))
+        return jax.lax.with_sharding_constraint(logits, sharding)
+
+    if key is None:
+        key = jax.random.key(0)
+    all_logits = []
+    for i in range(0, n, batch_size):
+        xb = images_u8[i : i + batch_size]
+        pad = (-int(xb.shape[0])) % ndev
+        if pad:
+            xb = jnp.concatenate([xb, xb[:pad]])
+        xb = jax.device_put(xb, sharding)
+        key, k = jax.random.split(key)
+        lg = fwd(xb, k)
+        if pad:
+            lg = lg[:-pad]
+        all_logits.append(lg)
+    return _finalize_eval(jnp.concatenate(all_logits), labels, metric_names)
 
 
 def corruption_sweep(
@@ -201,22 +273,41 @@ def corruption_sweep(
     severities: tuple[int, ...] = (1, 2, 3, 4, 5),
     batch_size: int = 256,
     metric_names: tuple[str, ...] = ("shannon_entropy", "msp", "margin", "energy"),
+    mesh=None,
+    mesh_axis: str = "data",
 ):
     """FINAL_cifar_corrupted-style sweep -> nested result dict.
 
     result[corruption][severity] = {accuracy, auroc per metric}.
     AUROC targets error detection: metric vs (prediction incorrect).
+
+    With ``mesh`` set, each (corruption, severity) cell runs as ONE
+    data-parallel dispatch over ``mesh[mesh_axis]`` (generation + forward
+    GSPMD-partitioned along the batch; see ``evaluate_sharded``) — the
+    multi-chip form of the reference's 15x5x10k sweep
+    (FINAL_cifar_corrupted.py:22-48). Results are bit-identical to the
+    single-chip path when the dataset size divides the axis size (the same
+    per-cell PRNG key drives generation).
     """
     names = corruption_names or tuple(CORRUPTIONS)
     out: dict = {}
     for name in names:
         out[name] = {}
+        fn, sevs = CORRUPTIONS.get(name) or EXTRA_CORRUPTIONS[name]
         for sev in severities:
             key, k = jax.random.split(key)
-            imgs = corrupt(clean_images_u8, name, sev, k)
-            res = evaluate_batched(
-                model_fn, to_model_space, imgs, labels, batch_size, metric_names
-            )
+            if mesh is not None:
+                res = evaluate_sharded(
+                    model_fn, to_model_space, clean_images_u8, labels, mesh,
+                    axis=mesh_axis, batch_size=int(clean_images_u8.shape[0]),
+                    metric_names=metric_names,
+                    corrupt_fn=lambda x, kk, f=fn, v=sevs[sev - 1], k0=k: f(x, v, k0),
+                )
+            else:
+                imgs = corrupt(clean_images_u8, name, sev, k)
+                res = evaluate_batched(
+                    model_fn, to_model_space, imgs, labels, batch_size, metric_names
+                )
             errors = 1.0 - res["correct"]
             aucs = {}
             for m in metric_names:

@@ -61,6 +61,25 @@ def psum_mean(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jax.lax.psum(jnp.mean(x), axis_name) / jax.lax.psum(1.0, axis_name)
 
 
+def sharded_accuracy(logits, labels, mesh: Mesh, axis: str = "data") -> float:
+    """Global accuracy over batch-sharded logits/labels WITHOUT gathering.
+
+    Each chip scores its local shard; the only cross-chip traffic is the
+    scalar ``psum`` over ICI — the metric-reduction pattern SURVEY §2.11
+    calls for (vs the reference's master-device gather in DataParallel,
+    attacks/fgsm.py:58). Shards must be equal-sized (device_put with a
+    batch-divisible global shape guarantees this).
+    """
+    def body(lg, lb):
+        correct = (jnp.argmax(lg, -1) == lb).astype(jnp.float32)
+        return psum_mean(correct, axis)
+
+    out = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
+    )(logits, labels)
+    return float(out)
+
+
 def sharded_chain_fn(
     chain,
     mesh: Mesh,

@@ -348,3 +348,96 @@ def test_sharded_blur_rejects_bad_split(rng):
     imgs = jnp.zeros((1, 24, 24, 3), jnp.uint8)  # 3 rows/shard < p=4
     with pytest.raises(ValueError):
         sharded_gaussian_blur(imgs, 1.5, mesh)
+
+
+def test_evaluate_sharded_matches_batched(rng):
+    """Data-parallel eval == single-device eval, bit-identical logits.
+
+    Covers the GSPMD-partitioned forward (divisible batch), the padded-tail
+    path (n % ndev != 0), and in-jit corruption generation with a fixed key.
+    Logits are allclose (not bit-equal): the per-shard matmul tiles
+    differently from the full-batch one, reordering float accumulation.
+    """
+    from imagetransformations_tpu.evalx import evaluate_batched, evaluate_sharded
+    from imagetransformations_tpu.evalx.harness import CORRUPTIONS
+    from imagetransformations_tpu.pipeline.datasets import synthetic
+    from imagetransformations_tpu.pipeline.sharding import data_mesh
+
+    imgs, labels = synthetic(n=64)
+    imgs, labels = jnp.asarray(imgs), jnp.asarray(labels)
+    w = jnp.asarray(rng.standard_normal((3072, 10)).astype(np.float32) * 0.01)
+
+    def model_fn(x):
+        return x.reshape(x.shape[0], -1) @ w
+
+    def to_model(x):
+        return x.astype(jnp.float32) / 255.0
+
+    mesh = data_mesh()
+    ref = evaluate_batched(model_fn, to_model, imgs, labels)
+    out = evaluate_sharded(model_fn, to_model, imgs, labels, mesh)
+    assert out["accuracy"] == ref["accuracy"]
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]), rtol=2e-5, atol=1e-6)
+
+    # Non-divisible batch: 61 = 7*8 + 5 -> padded to 64, tail trimmed.
+    ref = evaluate_batched(model_fn, to_model, imgs[:61], labels[:61])
+    out = evaluate_sharded(model_fn, to_model, imgs[:61], labels[:61], mesh)
+    assert np.asarray(out["logits"]).shape == (61, 10)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]), rtol=2e-5, atol=1e-6)
+
+    # In-jit corruption generation: same key -> same logits as host-side gen.
+    fn, sevs = CORRUPTIONS["gaussian_noise"]
+    k = jax.random.key(7)
+    ref = evaluate_batched(model_fn, to_model, fn(imgs, sevs[2], k), labels)
+    out = evaluate_sharded(
+        model_fn, to_model, imgs, labels, mesh,
+        corrupt_fn=lambda x, kk: fn(x, sevs[2], k),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]), rtol=2e-5, atol=1e-6)
+
+
+def test_corruption_sweep_sharded_matches_single(rng):
+    """mesh= sweep reproduces the single-chip sweep cell-for-cell."""
+    from imagetransformations_tpu.evalx import corruption_sweep
+    from imagetransformations_tpu.pipeline.datasets import synthetic
+    from imagetransformations_tpu.pipeline.sharding import data_mesh
+
+    imgs, labels = synthetic(n=32)
+    imgs, labels = jnp.asarray(imgs), jnp.asarray(labels)
+    w = jnp.asarray(rng.standard_normal((3072, 10)).astype(np.float32) * 0.01)
+
+    def model_fn(x):
+        return x.reshape(x.shape[0], -1) @ w
+
+    def to_model(x):
+        return x.astype(jnp.float32) / 255.0
+
+    names = ("gaussian_noise", "brightness")
+    kwargs = dict(corruption_names=names, severities=(1, 5))
+    ref = corruption_sweep(model_fn, to_model, imgs, labels, jax.random.key(0), **kwargs)
+    out = corruption_sweep(
+        model_fn, to_model, imgs, labels, jax.random.key(0), mesh=data_mesh(), **kwargs
+    )
+    for name in names:
+        for sev in (1, 5):
+            assert out[name][sev]["accuracy"] == ref[name][sev]["accuracy"]
+            for m, auc in ref[name][sev]["auroc"].items():
+                assert out[name][sev]["auroc"][m] == pytest.approx(auc, abs=1e-6)
+
+
+def test_sharded_accuracy_psum(rng):
+    from imagetransformations_tpu.pipeline.sharding import (
+        data_mesh, shard_images, sharded_accuracy,
+    )
+
+    logits = jnp.asarray(rng.standard_normal((64, 10)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, 64))
+    ref = float(jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32)))
+    mesh = data_mesh()
+    acc = sharded_accuracy(
+        shard_images(logits, mesh), shard_images(labels, mesh), mesh
+    )
+    assert acc == pytest.approx(ref, abs=1e-7)
