@@ -53,6 +53,9 @@ class SweepConfig(_Base):
     batch_size: int = 256
     metrics: str = "shannon_entropy,msp,margin,energy"
     out_dir: str = "./plots"
+    # shard each (corruption, severity) cell over all local devices
+    # (evalx.evaluate_sharded); single-device runs are unaffected
+    data_parallel: bool = False
 
 
 @dataclasses.dataclass
