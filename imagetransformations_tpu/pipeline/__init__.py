@@ -8,3 +8,9 @@ from imagetransformations_tpu.pipeline.sharding import (  # noqa: F401
     shard_images,
     sharded_apply,
 )
+from imagetransformations_tpu.pipeline.io import (  # noqa: F401
+    global_batch_from_host_shards,
+    load_folder_images,
+    prefetch_to_device,
+    shard_files_for_host,
+)

@@ -36,6 +36,55 @@ def walk_image_files(root: str, exts: tuple[str, ...] = IMAGE_EXTS) -> list[str]
     return out
 
 
+def shard_files_for_host(
+    paths: list[str],
+    process_index: int | None = None,
+    process_count: int | None = None,
+) -> list[str]:
+    """Deterministic per-host slice of a global file list (multi-host I/O).
+
+    The multi-host form of the transform workload (SURVEY §2.11/§5): each
+    host walks the same folder, takes its contiguous slice, decodes and
+    feeds only its own chips — file bytes never cross DCN; only the
+    already-sharded device arrays participate in collectives. Defaults to
+    ``jax.process_index()/count()`` so single-process runs see the full
+    list unchanged; pass explicit values to test or to shard by other
+    topologies. Contiguous (not strided) slicing keeps each host's reads
+    sequential on shared filesystems. The last host absorbs the remainder.
+
+    The reference has no counterpart (single-process folder loops,
+    transformation.py:73-89); this is the DCN-side half of the data-
+    parallel story, paired with ``prefetch_to_device`` per host.
+    """
+    idx = jax.process_index() if process_index is None else int(process_index)
+    cnt = jax.process_count() if process_count is None else int(process_count)
+    if cnt <= 1:
+        return list(paths)
+    if not 0 <= idx < cnt:
+        raise ValueError(f"process_index {idx} outside [0, {cnt})")
+    per = len(paths) // cnt
+    start = idx * per
+    stop = (idx + 1) * per if idx < cnt - 1 else len(paths)
+    return list(paths[start:stop])
+
+
+def global_batch_from_host_shards(
+    local_batch: np.ndarray, mesh, axis: str = "data"
+) -> jax.Array:
+    """Assemble per-host local batches into one globally-sharded jax.Array.
+
+    Each host contributes its ``local_batch`` (rows decoded from its
+    ``shard_files_for_host`` slice); the result is a global array whose
+    batch dim is sharded over ``mesh[axis]`` across ALL hosts' devices —
+    the input format ``evaluate_sharded``/``sharded_chain_fn`` consume.
+    Single-host meshes degenerate to a plain ``device_put``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))
+
+
 def load_folder_images(
     root: str, size: tuple[int, int] | None = None, native: bool = False
 ) -> tuple[np.ndarray, list[str]]:

@@ -441,3 +441,30 @@ def test_sharded_accuracy_psum(rng):
         shard_images(logits, mesh), shard_images(labels, mesh), mesh
     )
     assert acc == pytest.approx(ref, abs=1e-7)
+
+
+def test_shard_files_for_host(rng):
+    from imagetransformations_tpu.pipeline.io import shard_files_for_host
+
+    paths = [f"img_{i:03d}.png" for i in range(23)]
+    # explicit 4-host split: exact partition, contiguous, remainder on last
+    shards = [shard_files_for_host(paths, i, 4) for i in range(4)]
+    assert [len(s) for s in shards] == [5, 5, 5, 8]
+    assert sum(shards, []) == paths
+    # single process: unchanged
+    assert shard_files_for_host(paths, 0, 1) == paths
+    assert shard_files_for_host(paths) == paths  # jax.process_count() == 1
+    with pytest.raises(ValueError):
+        shard_files_for_host(paths, 4, 4)
+
+
+def test_global_batch_from_host_shards(rng):
+    from imagetransformations_tpu.pipeline.io import global_batch_from_host_shards
+    from imagetransformations_tpu.pipeline.sharding import data_mesh
+
+    mesh = data_mesh()
+    local = rng.integers(0, 256, (16, 8, 8, 3), dtype=np.uint8)
+    arr = global_batch_from_host_shards(local, mesh)
+    assert arr.shape == (16, 8, 8, 3)
+    assert arr.sharding.spec == jax.sharding.PartitionSpec("data")
+    np.testing.assert_array_equal(np.asarray(arr), local)
