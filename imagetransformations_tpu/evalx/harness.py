@@ -220,15 +220,18 @@ def evaluate_sharded(
     metric arrays stay device-sharded until fetched.
 
     ``corrupt_fn(images_u8, key) -> images_u8`` (optional) runs INSIDE the
-    sharded jit, so corruption generation is also data-parallel and
-    bit-identical to the unsharded path (same key, per-sample math is
-    untouched by batch partitioning). Pallas-backed ops are NOT partitioned
-    by GSPMD (use ``pipeline.sharding.sharded_chain_fn`` for the fused
-    chain); all canonical corruption generators are plain XLA and partition
-    cleanly.
+    sharded jit, so corruption generation is also data-parallel.
+    Pallas-backed ops are NOT partitioned by GSPMD (use
+    ``pipeline.sharding.sharded_chain_fn`` for the fused chain); all
+    canonical corruption generators are plain XLA and partition cleanly.
 
-    Each global batch is padded to a multiple of the axis size with leading
-    rows; the padded tail is trimmed from the logits.
+    Each global batch is padded to a multiple of the axis size by
+    repeating its last row; the padded tail is trimmed from the logits.
+    NOTE: when padding occurs AND ``corrupt_fn`` draws randomness shaped
+    like the batch, the padded draw shape changes every sample's noise —
+    sharded == unsharded generation parity therefore holds exactly when
+    each batch divides the axis size (``corruption_sweep(mesh=...)``
+    passes whole-dataset batches for this reason).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -253,7 +256,9 @@ def evaluate_sharded(
         xb = images_u8[i : i + batch_size]
         pad = (-int(xb.shape[0])) % ndev
         if pad:
-            xb = jnp.concatenate([xb, xb[:pad]])
+            # repeat the LAST row: always available even when the tail
+            # batch is shorter than pad (xb[:pad] would under-pad there)
+            xb = jnp.concatenate([xb, jnp.repeat(xb[-1:], pad, axis=0)])
         xb = jax.device_put(xb, sharding)
         key, k = jax.random.split(key)
         lg = fwd(xb, k)

@@ -831,6 +831,9 @@ def spatter(
 def saturate_hsv(img: jnp.ndarray, a: float, b: float) -> jnp.ndarray:
     """CIFAR-10-C saturate: s' = clip(a*s + b) on the HSV saturation
     channel — collapses to rgb' = v - (v - rgb)*(s'/s) with H, V fixed.
+    Achromatic pixels (s == 0) take hue 0 in the rgb2hsv roundtrip, so
+    with b > 0 (severities 4-5) they red-tint: (v, v(1-s'), v(1-s')) —
+    matching skimage's rgb2hsv/hsv2rgb, which zeroes hue when delta == 0.
     oracle.corruptions.saturate_hsv; SATURATE_SEV."""
     x, single = as_batch(img)
     x01 = x.astype(F32) / F32(255.0)
@@ -838,6 +841,8 @@ def saturate_hsv(img: jnp.ndarray, a: float, b: float) -> jnp.ndarray:
     mn = x01.min(axis=-1, keepdims=True)
     s = jnp.where(v > 0, (v - mn) / jnp.maximum(v, F32(1e-12)), F32(0.0))
     s2 = jnp.clip(F32(a) * s + F32(b), 0.0, 1.0)
-    ratio = jnp.where(s > 0, s2 / jnp.maximum(s, F32(1e-12)), F32(0.0))
-    out = v - (v - x01) * ratio
+    ratio = s2 / jnp.maximum(s, F32(1e-12))
+    grayv = v * (1.0 - s2)
+    tint = jnp.concatenate([v, grayv, grayv], axis=-1)
+    out = jnp.where(s > 0, v - (v - x01) * ratio, tint)
     return restore_layout(_u8(jnp.clip(out, 0.0, 1.0)), single)

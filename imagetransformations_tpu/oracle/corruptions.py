@@ -701,12 +701,16 @@ def saturate_hsv(img_u8: np.ndarray, a: float, b: float) -> np.ndarray:
     """CIFAR-10-C saturate: scale/shift the HSV saturation channel,
     s' = clip(a*s + b). With H and V fixed, (v - rgb) is proportional to
     s, so the round-trip collapses to rgb' = v - (v - rgb) * (s'/s)
-    (s = (v - min)/v; v = max(rgb); gray pixels are unchanged)."""
+    (s = (v - min)/v; v = max(rgb)). Achromatic pixels (s == 0) have
+    hue 0 after rgb2hsv (skimage zeroes hue when delta == 0), so with
+    b > 0 they red-tint: hsv2rgb(0, s', v) = (v, v(1-s'), v(1-s'))."""
     x01 = img_u8.astype(F32) / F32(255.0)
     v = x01.max(axis=-1, keepdims=True)
     mn = x01.min(axis=-1, keepdims=True)
     s = np.where(v > 0, (v - mn) / np.maximum(v, F32(1e-12)), F32(0.0))
     s2 = np.clip(F32(a) * s + F32(b), 0.0, 1.0)
-    ratio = np.where(s > 0, s2 / np.maximum(s, F32(1e-12)), F32(0.0))
-    out = v - (v - x01) * ratio
+    ratio = s2 / np.maximum(s, F32(1e-12))
+    grayv = v * (1.0 - s2)
+    tint = np.concatenate([v, grayv, grayv], axis=-1)
+    out = np.where(s > 0, v - (v - x01) * ratio, tint)
     return _u8(np.clip(out, 0.0, 1.0))

@@ -237,9 +237,9 @@ def _value_sweep_per_value(images, values, t: str, grid: tuple):
     vd = values.reshape(-1, 1, 1, 1)
     out = jnp.zeros_like(images)
     for v in grid:
-        if t == "scale":
-            res = wp.apply_scale(images, v)
-        elif t == "shear":
+        # scale never reaches here: _apply_per_value returns
+        # apply_scale_batched for it unconditionally
+        if t == "shear":
             res = wp.apply_shear(images, v)[:, :, :w]
         elif t == "rotation_pil":
             res = wp.apply_rotation(images, v)

@@ -99,7 +99,7 @@ def _apply_simple(x: jnp.ndarray, spec: OpSpec, key) -> jnp.ndarray:
     # affine ops reached in strict_parity mode (each op applied separately
     # with per-op uint8 quantization, exactly like the reference's PIL calls)
     if spec.name == "rotation":
-        return wp.apply_rotation(x, p["angle"])
+        return wp.apply_rotation(x, p["angle"], max_angle_deg=p.get("max_angle_deg"))
     if spec.name == "translation":
         return wp.apply_translation(x, p["tx"], p.get("ty", p["tx"]))
     if spec.name == "zoom":
@@ -130,33 +130,55 @@ def _match_mega(chain, i, strict_parity, x):
     """Match a blur / rotation / blur->rotation prefix (each optionally
     followed by grayscale) for the VMEM-resident mega-kernels.
 
-    Returns (radius, angle_or_angles, grayscale_out, ops_consumed, traced)
-    or None. ``traced=True`` means a per-image angle vector (concrete,
-    bounded) routed to the log-routing kernel variant.
+    Returns (radius, angle_or_angles, grayscale_out, ops_consumed, bound)
+    or None. A non-None ``bound`` means per-image traced angles routed to
+    the log-routing kernel variant with that static budget: either a
+    concrete bounded angle array, or an enclosing-jit TRACER whose caller
+    declared ``max_angle_deg`` in the rotation spec's params (the only safe
+    way to route an uninspectable angle — ``sharded_chain_fn`` injects the
+    hint from the concrete global array before shard_map hides it).
     """
+    import jax as _jax
+
     if strict_parity or x.ndim != 4 or x.dtype != jnp.uint8:
         return None
-    radius, angle, traced = 0.0, 0.0, False
+    radius, angle, bound = 0.0, 0.0, None
     j = i
     if chain[j].name == "blur" and _static(chain[j].params["radius"]):
         radius = float(chain[j].params["radius"])
         j += 1
     if j < len(chain) and chain[j].name == "rotation":
         a = chain[j].params["angle"]
+        hint = chain[j].params.get("max_angle_deg")
         if _static(a) and abs(float(a)) <= 45.0:
             angle = float(a)
             j += 1
         else:
             arr = _inspectable_angles(a)
             if arr is not None:
-                angle, traced = arr, True
+                angle = arr
+                bound = _round_budget(float(np.abs(arr).max()))
+                j += 1
+            elif (
+                isinstance(a, _jax.core.Tracer)
+                and hint is not None
+                and float(hint) <= 45.0
+            ):
+                angle = a
+                bound = _round_budget(float(hint))
                 j += 1
     if j == i:
         return None
     gray = j < len(chain) and chain[j].name == "grayscale" and x.shape[3] == 3
     if gray:
         j += 1
-    return radius, angle, gray, j - i, traced
+    return radius, angle, gray, j - i, bound
+
+
+def _round_budget(max_abs_deg: float) -> float:
+    """Routing budget rounded up to 5-degree steps: one compiled kernel
+    specialization per budget instead of per distinct angle vector."""
+    return min(45.0, 5.0 * float(np.ceil(max_abs_deg / 5.0))) or 5.0
 
 
 def build_chain_fn(
@@ -196,22 +218,18 @@ def build_chain_fn(
                     fused_blur_rotate_image,
                 )
 
-                radius, angle, fuse_gray, consumed, traced = mega
+                radius, angle, fuse_gray, consumed, bound = mega
                 # stream=True implements this chain's documented fast-mode
                 # contract (f32 intermediates, ONE final quantization) for
                 # the fused stage: higher quality than per-op rounding and
                 # ~4 fewer VPU passes. Oracle: fast_warp.fused_stream_chain.
-                if traced:
+                if bound is not None:
                     from imagetransformations_tpu.ops.pallas.megakernel import (
                         fused_blur_rotate_batched,
                     )
 
                     # per-image angles: log-routed kernel, one executable
-                    # per routing budget (rounded up to 5-degree steps to
-                    # bound the number of compiled specializations)
-                    bound = min(
-                        45.0, 5.0 * float(np.ceil(np.abs(angle).max() / 5.0))
-                    ) or 5.0
+                    # per routing budget (_round_budget)
                     x = fused_blur_rotate_batched(
                         x, radius, jnp.asarray(angle, jnp.float32),
                         grayscale_out=fuse_gray, stream=True,

@@ -50,7 +50,8 @@ def shard_files_for_host(
     ``jax.process_index()/count()`` so single-process runs see the full
     list unchanged; pass explicit values to test or to shard by other
     topologies. Contiguous (not strided) slicing keeps each host's reads
-    sequential on shared filesystems. The last host absorbs the remainder.
+    sequential on shared filesystems. Shard sizes stay within 1 file of
+    each other (balanced ``idx*n//cnt`` bounds).
 
     The reference has no counterpart (single-process folder loops,
     transformation.py:73-89); this is the DCN-side half of the data-
@@ -62,9 +63,11 @@ def shard_files_for_host(
         return list(paths)
     if not 0 <= idx < cnt:
         raise ValueError(f"process_index {idx} outside [0, {cnt})")
-    per = len(paths) // cnt
-    start = idx * per
-    stop = (idx + 1) * per if idx < cnt - 1 else len(paths)
+    # balanced contiguous split: every shard within 1 file of the others
+    # (a floor-division split would hand the last host up to cnt-1 extras,
+    # stalling peers at the first collective while it finishes decoding)
+    start = idx * len(paths) // cnt
+    stop = (idx + 1) * len(paths) // cnt
     return list(paths[start:stop])
 
 

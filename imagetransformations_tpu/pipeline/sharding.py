@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -70,14 +72,30 @@ def sharded_accuracy(logits, labels, mesh: Mesh, axis: str = "data") -> float:
     attacks/fgsm.py:58). Shards must be equal-sized (device_put with a
     batch-divisible global shape guarantees this).
     """
-    def body(lg, lb):
-        correct = (jnp.argmax(lg, -1) == lb).astype(jnp.float32)
-        return psum_mean(correct, axis)
+    fn = _sharded_accuracy_fn(mesh, axis)
+    return float(fn(logits, labels))
 
-    out = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
-    )(logits, labels)
-    return float(out)
+
+_ACC_FN_CACHE: dict = {}
+
+
+def _sharded_accuracy_fn(mesh: Mesh, axis: str):
+    # cache the jitted shard_map per (mesh, axis): a fresh closure each call
+    # would defeat jax's jit cache and recompile every invocation (75 cells
+    # in a full sweep; compiles are server-side on the tunneled runtime)
+    key = (mesh, axis)
+    fn = _ACC_FN_CACHE.get(key)
+    if fn is None:
+
+        def body(lg, lb):
+            correct = (jnp.argmax(lg, -1) == lb).astype(jnp.float32)
+            return psum_mean(correct, axis)
+
+        fn = jax.jit(
+            jax.shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
+        )
+        _ACC_FN_CACHE[key] = fn
+    return fn
 
 
 def sharded_chain_fn(
@@ -100,19 +118,69 @@ def sharded_chain_fn(
     The global batch must divide the axis size. Returns a jitted
     ``images -> images`` callable; outputs keep the input sharding.
 
+    PER-IMAGE parameter arrays (a length-N ``angle``/``factor``/... vector
+    in an OpSpec) are lifted out of the specs and passed to ``shard_map``
+    as batch-sharded operands, so each device's chain sees the parameter
+    slice matching its image block — a closure-captured global-length
+    vector would broadcast-mismatch against the local shard. Routing
+    bounds that need concrete values (the traced-rotation budget) are
+    computed host-side from the global array and injected as a
+    ``max_angle_deg`` hint before shard_map turns the values into tracers.
+
     Replaces (at scale) the reference's only parallelism, a torch
     DataParallel wrap (attacks/fgsm.py:58); validated bit-identical to the
     unsharded chain on an 8-device mesh (tests/test_models_pipeline.py and
     the driver's dryrun_multichip gate).
     """
-    from imagetransformations_tpu.pipeline.chain import build_chain_fn
+    from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
 
-    fn = build_chain_fn(chain, jit=False, **build_kwargs)
+    chain = list(chain)
+    lifted: list[tuple[int, str]] = []  # (spec index, param key)
+    arrays: list[jnp.ndarray] = []
+    for si, sp in enumerate(chain):
+        new_params = dict(sp.params)
+        changed = False
+        for k, v in sp.params.items():
+            if isinstance(v, (int, float, bool, str)) or v is None:
+                continue
+            arr = np.asarray(v)
+            if arr.ndim < 1:
+                new_params[k] = float(arr)  # 0-d array -> plain static scalar
+                changed = True
+                continue
+            lifted.append((si, k))
+            arrays.append(jnp.asarray(arr))
+            if (
+                sp.name == "rotation"
+                and k == "angle"
+                and "max_angle_deg" not in sp.params
+                and float(np.abs(arr).max()) <= 45.0
+            ):
+                new_params["max_angle_deg"] = float(np.abs(arr).max())
+                changed = True
+        if changed:
+            chain[si] = OpSpec(sp.name, new_params)
+
     spec = P(axis)
+
+    def body(x, *vals):
+        local = list(chain)
+        for (si, k), v in zip(lifted, vals):
+            p = dict(local[si].params)
+            p[k] = v
+            local[si] = OpSpec(local[si].name, p)
+        return build_chain_fn(local, jit=False, **build_kwargs)(x)
+
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # annotation, which the vma checker (on by default) rejects
     mapped = jax.shard_map(
-        lambda x: fn(x), mesh=mesh, in_specs=(spec,), out_specs=spec,
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * (1 + len(arrays)),
+        out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(mapped)
+    if not arrays:
+        return jax.jit(mapped)
+    arrays_t = tuple(arrays)
+    return jax.jit(lambda images: mapped(images, *arrays_t))

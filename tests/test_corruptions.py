@@ -361,3 +361,14 @@ def test_saturate_hsv_matches_oracle_and_skimage(rng):
     hsv[..., 1] = np.clip(hsv[..., 1] * 2.0 + 0.1, 0, 1)
     ref2 = np.clip(np.rint(np.clip(sk.hsv2rgb(hsv), 0, 1) * 255), 0, 255).astype(np.uint8)
     assert _max_lsb(oc.saturate_hsv(img, 2.0, 0.1), ref2) <= 1
+    # achromatic pixels with b > 0: rgb2hsv gives hue 0, so the roundtrip
+    # red-tints gray/white — (v, v(1-s'), v(1-s')), not the identity
+    gray = np.full((4, 4, 3), 200, np.uint8)
+    gray[0, 0] = (255, 255, 255)
+    gray[0, 1] = 0
+    hsvg = sk.rgb2hsv(gray.astype(np.float64) / 255.0)
+    hsvg[..., 1] = np.clip(hsvg[..., 1] * 5.0 + 0.1, 0, 1)
+    refg = np.clip(np.rint(np.clip(sk.hsv2rgb(hsvg), 0, 1) * 255), 0, 255).astype(np.uint8)
+    assert _max_lsb(oc.saturate_hsv(gray, 5.0, 0.1), refg) <= 1
+    assert _max_lsb(np.asarray(cr.saturate_hsv(jnp.asarray(gray), 5.0, 0.1)), refg) <= 1
+    assert refg[1, 1, 1] < refg[1, 1, 0]  # the tint is real: g < r on gray

@@ -156,6 +156,31 @@ def test_sharded_chain_fn_megakernel_8_devices(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_sharded_chain_fn_per_image_angles(rng):
+    """Per-image parameter vectors are lifted into sharded shard_map
+    operands (each device's block sees its own angle slice); the routing
+    budget comes from the host-side global max injected as max_angle_deg
+    (regression: a closure-captured global-length vector broadcast-crashed
+    against the local shard)."""
+    from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
+    from imagetransformations_tpu.pipeline.sharding import (
+        data_mesh, shard_images, sharded_chain_fn,
+    )
+
+    mesh = data_mesh()
+    angles = np.asarray(
+        rng.uniform(-30.0, 30.0, size=8).astype(np.float32))
+    chain = [
+        OpSpec("blur", {"radius": 1.5}),
+        OpSpec("rotation", {"angle": angles}),
+        OpSpec("grayscale"),
+    ]
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 40, 48, 3), dtype=np.uint8))
+    out = np.asarray(sharded_chain_fn(chain, mesh)(shard_images(imgs, mesh)))
+    ref = np.asarray(build_chain_fn(chain)(imgs))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_io_roundtrip(tmp_path, rng):
     from imagetransformations_tpu.pipeline.io import (
         load_cifar10c_npy, load_folder_images, save_batch_images, walk_image_files,
@@ -387,6 +412,20 @@ def test_evaluate_sharded_matches_batched(rng):
     np.testing.assert_allclose(
         np.asarray(out["logits"]), np.asarray(ref["logits"]), rtol=2e-5, atol=1e-6)
 
+    # Tail batch SHORTER than the pad it needs (regression: xb[:pad] only
+    # had tail rows to copy, under-padding 2+6=4 rows -> device_put error;
+    # repeat-last-row padding always reaches a multiple of ndev).
+    n, bs = 66, 64  # last batch = 2 rows, pad = 6
+    imgs2 = jnp.concatenate([imgs, imgs[:2]])
+    labels2 = jnp.concatenate([labels, labels[:2]])
+    ref = evaluate_batched(model_fn, to_model, imgs2, labels2)
+    out = evaluate_sharded(
+        model_fn, to_model, imgs2, labels2, mesh, batch_size=bs)
+    assert np.asarray(out["logits"]).shape == (n, 10)
+    assert out["accuracy"] == ref["accuracy"]
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]), rtol=2e-5, atol=1e-6)
+
     # In-jit corruption generation: same key -> same logits as host-side gen.
     fn, sevs = CORRUPTIONS["gaussian_noise"]
     k = jax.random.key(7)
@@ -447,10 +486,14 @@ def test_shard_files_for_host(rng):
     from imagetransformations_tpu.pipeline.io import shard_files_for_host
 
     paths = [f"img_{i:03d}.png" for i in range(23)]
-    # explicit 4-host split: exact partition, contiguous, remainder on last
+    # explicit 4-host split: exact partition, contiguous, balanced within 1
     shards = [shard_files_for_host(paths, i, 4) for i in range(4)]
-    assert [len(s) for s in shards] == [5, 5, 5, 8]
+    assert [len(s) for s in shards] == [5, 6, 6, 6]
     assert sum(shards, []) == paths
+    # pathological few-files case stays balanced (no [0,0,0,3] pile-up)
+    tiny = [shard_files_for_host(paths[:3], i, 4) for i in range(4)]
+    assert sorted(len(s) for s in tiny) == [0, 1, 1, 1]
+    assert sum(tiny, []) == paths[:3]
     # single process: unchanged
     assert shard_files_for_host(paths, 0, 1) == paths
     assert shard_files_for_host(paths) == paths  # jax.process_count() == 1
