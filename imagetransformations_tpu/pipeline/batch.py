@@ -156,30 +156,47 @@ def apply_all_transformations(
     are applied per unique value via the exact ops (few compiles — the grids
     have 6 and 11 values); with parity off, scale falls back to the batched
     affine zoom and shear is skipped.
+
+    The WHOLE sweep (parameter draws + all 8 batched ops) runs as ONE jitted
+    dispatch: on the tunneled runtime each dispatch pays a ~30 ms RPC floor,
+    so the previous one-call-per-type structure spent ~8 floors (~0.24 s) of
+    its ~0.35 s steady-state on launch overhead alone. One executable per
+    (types, parity flags, shape) — cached in ``_apply_all_fn``.
     """
-    n = images.shape[0]
-    out: dict[str, tuple[jnp.ndarray, jnp.ndarray]] = {}
-    keys = jax.random.split(key, 2 * len(types))
-    for i, t in enumerate(types):
-        vkey, okey = keys[2 * i], keys[2 * i + 1]
-        values = sample_params(vkey, t, n)
-        fn = _BATCHED_OPS.get(t)
-        if t == "rotation" and pil_parity_rotation:
-            # PIL-NEAREST rotation with per-image grid angles via the
-            # roll/select kernel (f32 device coords: <=0.5% boundary flips
-            # vs PIL's f64, same budget as tests/test_warp.py)
-            results = _apply_per_value(images, "rotation_pil", values)
-        elif (t == "shear" or t == "scale") and pil_parity_scale_shear:
-            # exact PIL canvas semantics per unique grid value; the BICUBIC
-            # shear sweep costs ~4.5 s/value at 512x512 (gather warp) — turn
-            # the flag off for the batched fast paths
-            results = _apply_per_value(images, t, values)
-        elif fn is None:
-            continue
-        else:
-            results = fn(images, values, okey)
-        out[t] = (values, results)
-    return out
+    return _apply_all_fn(
+        tuple(types), bool(pil_parity_scale_shear), bool(pil_parity_rotation)
+    )(images, key)
+
+
+@functools.lru_cache(maxsize=None)
+def _apply_all_fn(
+    types: tuple[str, ...], pil_parity_scale_shear: bool, pil_parity_rotation: bool
+):
+    def run(images, key):
+        n = images.shape[0]
+        out: dict[str, tuple[jnp.ndarray, jnp.ndarray]] = {}
+        keys = jax.random.split(key, 2 * len(types))
+        for i, t in enumerate(types):
+            vkey, okey = keys[2 * i], keys[2 * i + 1]
+            values = sample_params(vkey, t, n)
+            fn = _BATCHED_OPS.get(t)
+            if t == "rotation" and pil_parity_rotation:
+                # PIL-NEAREST rotation with per-image grid angles via the
+                # roll/select kernel (f32 device coords: <=0.5% boundary
+                # flips vs PIL's f64, same budget as tests/test_warp.py)
+                results = _apply_per_value(images, "rotation_pil", values)
+            elif (t == "shear" or t == "scale") and pil_parity_scale_shear:
+                # exact PIL canvas semantics (BICUBIC shear / LANCZOS scale)
+                # via the traced per-image kernels
+                results = _apply_per_value(images, t, values)
+            elif fn is None:
+                continue
+            else:
+                results = fn(images, values, okey)
+            out[t] = (values, results)
+        return out
+
+    return jax.jit(run)
 
 
 def _apply_per_value(images: jnp.ndarray, t: str, values: jnp.ndarray):
