@@ -1,0 +1,238 @@
+"""CLI entry point: ``python -m imagetransformations_tpu <command>``.
+
+The reference ships ~100 standalone ``python <script>.py`` entry points with
+hardcoded constants (SURVEY.md §5 'Config / flag system: none'). This CLI
+exposes the equivalent workflows as subcommands over the typed configs in
+``utils.config``:
+
+- ``transform IN_DIR OUT_DIR``    — transformation.py __main__: the 8-type
+  random-grid sweep over a folder, one fused dispatch per batch.
+- ``chain IN_DIR OUT_DIR --ops blur:1.5,rotation:15,grayscale`` — apply a
+  declarative op-chain (fused megakernel where it matches) to a folder.
+- ``sweep``                       — FINAL_cifar_corrupted.py: corruption x
+  severity x metric sweep (+AUROC plots). ``--data-root`` for real CIFAR-10;
+  synthetic smoke data otherwise.
+- ``report``                      — pipeline/cifar10_histogram4.py: all logit
+  metrics + Youden thresholds + histogram PNGs.
+
+Deeper research workflows (TENT, SWAG, refinement, attacks, evolution) live
+in ``examples/run_*.py`` and ``workflows.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+#: default parameter key per op name, so ``blur:1.5`` parses without
+#: spelling ``radius`` (full spellings like ``blur:radius=1.5`` also work)
+_OP_PARAM = {
+    "blur": "radius",
+    "rotation": "angle",
+    "brightness": "factor",
+    "lighten_darken": "factor",
+    "contrast": "alpha",
+    "enhance_contrast": "factor",
+    "enhance_color": "factor",
+    "sharpness": "factor",
+    "motion_blur": "ksize",
+    "gaussian_noise": "std",
+    "impulse_noise": "amount",
+    "shot_noise": "lam",
+    "translation": "tx",
+    "zoom": "factor",
+    "scale": "factor",
+    "shear": "factor",
+}
+_NO_PARAM_OPS = {"grayscale", "invert", "histogram_equalization", "flip_vertical"}
+
+
+def parse_ops(spec: str):
+    """``"blur:1.5,rotation:15,grayscale"`` -> list[OpSpec]."""
+    from imagetransformations_tpu.pipeline.chain import OpSpec
+
+    chain = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, val = part.partition(":")
+        if name in _NO_PARAM_OPS:
+            chain.append(OpSpec(name))
+            continue
+        if name not in _OP_PARAM:
+            raise SystemExit(
+                f"unknown op {name!r}; known: "
+                f"{sorted(_OP_PARAM) + sorted(_NO_PARAM_OPS)}"
+            )
+        if not val:
+            raise SystemExit(f"op {name!r} needs a value, e.g. {name}:1.5")
+        key, _, kv = val.partition("=")
+        if kv:  # explicit param name: blur:radius=1.5
+            chain.append(OpSpec(name, {key: float(kv)}))
+        else:
+            p = float(val)
+            chain.append(
+                OpSpec(name, {_OP_PARAM[name]: int(p) if name == "motion_blur" else p})
+            )
+    if not chain:
+        raise SystemExit("--ops parsed to an empty chain")
+    return chain
+
+
+def _parse_size(argv) -> tuple[int, int] | None:
+    for a in argv:
+        if a.startswith("--size="):
+            w, _, h = a.split("=", 1)[1].partition("x")
+            return (int(w), int(h or w))
+    return None
+
+
+def _positional(argv, n: int, usage: str):
+    pos = [a for a in argv if not a.startswith("--")]
+    if len(pos) < n:
+        raise SystemExit(f"usage: python -m imagetransformations_tpu {usage}")
+    return pos
+
+
+def _get_model_and_data(data_root: str):
+    """A small briefly-trained ResNet-20 + CIFAR-10 (synthetic fallback) —
+    the same smoke setup as examples/_common.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagetransformations_tpu.models import resnet20
+    from imagetransformations_tpu.models.resnet import normalize_cifar
+    from imagetransformations_tpu.models.training import fit
+    from imagetransformations_tpu.pipeline.datasets import load_cifar10, synthetic
+
+    try:
+        xtr, ytr = load_cifar10(data_root, train=True)
+        xte, yte = load_cifar10(data_root, train=False)
+        xtr, ytr, xte, yte = xtr[:512], ytr[:512], xte[:256], yte[:256]
+    except (FileNotFoundError, OSError):
+        print(f"no CIFAR-10 under {data_root!r}; using synthetic smoke data")
+        xtr, ytr = synthetic(512, seed=0)
+        xte, yte = synthetic(256, seed=1)
+
+    model = resnet20()
+
+    def to_model(u8):
+        return normalize_cifar(u8.astype(jnp.float32) / 255.0)
+
+    batches = [
+        (to_model(jnp.asarray(xtr[i : i + 128])), jnp.asarray(ytr[i : i + 128]))
+        for i in range(0, len(xtr), 128)
+    ]
+    variables = fit(model, batches, epochs=3)
+    model_fn = jax.jit(lambda x: model.apply(variables, x))
+    return model_fn, to_model, jnp.asarray(xte), jnp.asarray(yte)
+
+
+def cmd_transform(argv):
+    import jax
+
+    from imagetransformations_tpu.workflows import transform_folder
+
+    in_dir, out_dir = _positional(argv, 2, "transform IN_DIR OUT_DIR [--size=WxH] [--seed=N]")[:2]
+    seed = next((int(a.split("=", 1)[1]) for a in argv if a.startswith("--seed=")), 0)
+    written = transform_folder(
+        in_dir, out_dir, key=jax.random.key(seed), size=_parse_size(argv)
+    )
+    n = sum(len(v) for v in written.values())
+    print(f"wrote {n} transformed images ({len(written)} transform types) to {out_dir}")
+
+
+def cmd_chain(argv):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from imagetransformations_tpu.pipeline.chain import build_chain_fn
+    from imagetransformations_tpu.pipeline.io import load_folder_images, save_batch_images
+
+    in_dir, out_dir = _positional(argv, 2, "chain IN_DIR OUT_DIR --ops OP:V,... [--size=WxH]")[:2]
+    spec = next((a.split("=", 1)[1] for a in argv if a.startswith("--ops=")), None)
+    if spec is None:
+        raise SystemExit("chain requires --ops=, e.g. --ops=blur:1.5,rotation:15,grayscale")
+    strict = any(a == "--strict-parity" for a in argv)
+    chain = parse_ops(spec)
+    imgs, paths = load_folder_images(in_dir, size=_parse_size(argv))
+    if len(paths) == 0:
+        raise SystemExit(f"no images found under {in_dir}")
+    out = build_chain_fn(chain, strict_parity=strict)(jnp.asarray(imgs))
+    save_batch_images(np.asarray(out), paths, out_dir, "chained")
+    print(f"applied {len(chain)} ops to {len(paths)} images -> {out_dir}")
+
+
+def cmd_sweep(argv):
+    import jax
+    import jax.numpy as jnp
+
+    from imagetransformations_tpu.evalx import corruption_sweep
+    from imagetransformations_tpu.evalx.report import plot_severity_aucs, summary_table
+    from imagetransformations_tpu.utils.config import SweepConfig
+
+    cfg = SweepConfig.from_cli(argv)
+    data_root = next(
+        (a.split("=", 1)[1] for a in argv if a.startswith("--data-root=")), "./data"
+    )
+    model_fn, to_model, xte, yte = _get_model_and_data(data_root)
+    mesh = None
+    if cfg.data_parallel and len(jax.devices()) > 1:
+        from imagetransformations_tpu.pipeline.sharding import data_mesh
+
+        mesh = data_mesh()
+        print(f"data-parallel sweep over {mesh.shape['data']} devices")
+    sweep = corruption_sweep(
+        model_fn, to_model, xte, yte, jax.random.key(0),
+        severities=tuple(range(1, cfg.severities + 1)),
+        metric_names=tuple(cfg.metrics.split(",")),
+        batch_size=cfg.batch_size,
+        mesh=mesh,
+    )
+    print(summary_table(sweep).to_string(index=False))
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    for m in cfg.metrics.split(","):
+        plot_severity_aucs(sweep, m, os.path.join(cfg.out_dir, f"auc_{m}.png"))
+    print(f"plots in {cfg.out_dir}")
+
+
+def cmd_report(argv):
+    from imagetransformations_tpu.utils.config import SweepConfig
+    from imagetransformations_tpu.workflows import uncertainty_report
+
+    cfg = SweepConfig.from_cli(argv)
+    data_root = next(
+        (a.split("=", 1)[1] for a in argv if a.startswith("--data-root=")), "./data"
+    )
+    model_fn, to_model, xte, yte = _get_model_and_data(data_root)
+    res = uncertainty_report(model_fn, to_model, xte, yte, out_dir=cfg.out_dir)
+    print(f"accuracy: {res['accuracy']:.4f}")
+    for m, row in res["thresholds"].items():
+        print(f"  {m:>18s}: auroc={row['auroc']:.4f} threshold={row['threshold']:.4f}")
+    print(f"histograms in {cfg.out_dir}")
+
+
+_COMMANDS = {
+    "transform": cmd_transform,
+    "chain": cmd_chain,
+    "sweep": cmd_sweep,
+    "report": cmd_report,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(__doc__)
+        raise SystemExit(0)
+    cmd = argv[0]
+    if cmd not in _COMMANDS:
+        raise SystemExit(
+            f"unknown command {cmd!r}; available: {', '.join(_COMMANDS)}"
+        )
+    _COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -511,3 +511,34 @@ def test_global_batch_from_host_shards(rng):
     assert arr.shape == (16, 8, 8, 3)
     assert arr.sharding.spec == jax.sharding.PartitionSpec("data")
     np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_cli_parse_ops_and_chain(tmp_path, rng):
+    """python -m imagetransformations_tpu: op-spec parsing + the chain
+    command end-to-end (folder in -> transformed folder out)."""
+    from PIL import Image
+
+    from imagetransformations_tpu.__main__ import cmd_chain, main, parse_ops
+
+    chain = parse_ops("blur:1.5,rotation:15,grayscale")
+    assert [s.name for s in chain] == ["blur", "rotation", "grayscale"]
+    assert chain[0].params == {"radius": 1.5}
+    assert chain[1].params == {"angle": 15.0}
+    # explicit param spelling
+    assert parse_ops("translation:tx=4")[0].params == {"tx": 4.0}
+    with pytest.raises(SystemExit):
+        parse_ops("nosuchop:1")
+    with pytest.raises(SystemExit):
+        parse_ops("blur")  # missing required value
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+        ).save(src / f"im{i}.png")
+    out = tmp_path / "out"
+    cmd_chain([str(src), str(out), "--ops=blur:1.5,rotation:15,grayscale"])
+    assert len(list(out.iterdir())) == 2
+    with pytest.raises(SystemExit):
+        main(["nosuchcommand"])
