@@ -16,6 +16,8 @@ Parity map:
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable
 
 import numpy as np
@@ -169,16 +171,72 @@ DEFAULT_METRICS: tuple[str, ...] = (
 )
 
 
+@functools.lru_cache(maxsize=None)
+def _finalize_fn(metric_names: tuple):
+    # ONE jitted dispatch for correctness + every metric: the previous
+    # eager jnp calls cost ~40 ms each over the tunneled runtime, so a
+    # 9-metric finalize burned ~0.4 s per evaluation in launch floors
+    @jax.jit
+    def run(logits, labels):
+        pred = jnp.argmax(logits, axis=-1)
+        correct = (pred == labels).astype(jnp.float32)
+        metrics = {m: um.LOGIT_METRICS[m](logits) for m in metric_names}
+        return jnp.mean(correct), correct, metrics
+
+    return run
+
+
 def _finalize_eval(logits, labels, metric_names):
-    pred = jnp.argmax(logits, axis=-1)
-    correct = (pred == labels).astype(jnp.float32)
-    metrics = {m: um.LOGIT_METRICS[m](logits) for m in metric_names}
+    acc, correct, metrics = _finalize_fn(tuple(metric_names))(logits, labels)
     return {
-        "accuracy": float(jnp.mean(correct)),
+        "accuracy": float(acc),
         "correct": correct,
         "logits": logits,
         "metrics": metrics,
     }
+
+
+#: (id(model_fn), id(to_model_space), batch_size) -> (refs..., jitted fn);
+#: strong refs keep the ids valid for the cache lifetime
+_FWD_CACHE: dict = {}
+
+
+def _forward_all_fn(model_fn, to_model_space, batch_size: int):
+    """Whole-dataset forward as ONE jitted dispatch: pad to a batch_size
+    multiple (repeating the last row; padded logits trimmed), reshape to
+    [nb, bs, ...], ``lax.scan`` the preprocessed forward over batches.
+
+    The previous per-batch Python loop paid one dispatch floor per batch
+    PLUS an eager ``to_model_space`` per batch (~70 ms/batch on the
+    tunneled runtime — 40 batches of a 10k-image sweep cell = ~3 s of pure
+    overhead). Memory behavior is unchanged: scan keeps one batch of
+    activations live at a time.
+    """
+    key = (id(model_fn), id(to_model_space), int(batch_size))
+    hit = _FWD_CACHE.get(key)
+    if hit is not None:
+        return hit[-1]
+
+    @jax.jit
+    def run(images_u8):
+        n = images_u8.shape[0]
+        bs = min(int(batch_size), int(n))
+        pad = (-n) % bs
+        x = images_u8
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        nb = x.shape[0] // bs
+        xb = x.reshape((nb, bs) + x.shape[1:])
+
+        def body(_, b):
+            return None, model_fn(to_model_space(b))
+
+        _, lg = jax.lax.scan(body, None, xb)
+        lg = lg.reshape((nb * bs,) + lg.shape[2:])
+        return lg[:n]
+
+    _FWD_CACHE[key] = (model_fn, to_model_space, run)
+    return run
 
 
 def evaluate_batched(
@@ -189,12 +247,13 @@ def evaluate_batched(
     batch_size: int = 256,
     metric_names: tuple[str, ...] = DEFAULT_METRICS,
 ):
-    """Accuracy + per-sample metric arrays over a dataset (batched forwards)."""
-    all_logits = []
-    for i in range(0, images_u8.shape[0], batch_size):
-        xb = to_model_space(images_u8[i : i + batch_size])
-        all_logits.append(model_fn(xb))
-    return _finalize_eval(jnp.concatenate(all_logits), labels, metric_names)
+    """Accuracy + per-sample metric arrays over a dataset.
+
+    TWO dispatches total: one scanned forward over all batches
+    (``_forward_all_fn``), one fused finalize (``_finalize_fn``).
+    """
+    logits = _forward_all_fn(model_fn, to_model_space, batch_size)(images_u8)
+    return _finalize_eval(logits, labels, metric_names)
 
 
 def evaluate_sharded(
@@ -295,6 +354,7 @@ def corruption_sweep(
     per-cell PRNG key drives generation).
     """
     names = corruption_names or tuple(CORRUPTIONS)
+    stats = _cell_stats_fn(tuple(metric_names))
     out: dict = {}
     for name in names:
         out[name] = {}
@@ -305,23 +365,47 @@ def corruption_sweep(
                 res = evaluate_sharded(
                     model_fn, to_model_space, clean_images_u8, labels, mesh,
                     axis=mesh_axis, batch_size=int(clean_images_u8.shape[0]),
-                    metric_names=metric_names,
+                    metric_names=(),
                     corrupt_fn=lambda x, kk, f=fn, v=sevs[sev - 1], k0=k: f(x, v, k0),
                 )
+                logits = res["logits"]
             else:
+                # THREE dispatches per cell: generate, scanned forward,
+                # fused stats (accuracy + every AUROC in one jit) — the
+                # per-batch loop + eager metric/auroc calls previously cost
+                # seconds of launch floors per cell on the tunneled runtime
                 imgs = corrupt(clean_images_u8, name, sev, k)
-                res = evaluate_batched(
-                    model_fn, to_model_space, imgs, labels, batch_size, metric_names
-                )
-            errors = 1.0 - res["correct"]
-            aucs = {}
-            for m in metric_names:
-                score = res["metrics"][m]
-                if m in um.CONFIDENCE_METRICS:
-                    score = -score  # flip: higher metric = more confident
-                aucs[m] = float(auroc(score, errors))
-            out[name][sev] = {"accuracy": res["accuracy"], "auroc": aucs}
+                logits = _forward_all_fn(model_fn, to_model_space, batch_size)(imgs)
+            acc, aucs_arr = stats(logits, labels)
+            aucs_np = np.asarray(aucs_arr)
+            aucs = {m: float(a) for m, a in zip(metric_names, aucs_np)}
+            out[name][sev] = {"accuracy": float(acc), "auroc": aucs}
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_stats_fn(metric_names: tuple):
+    """Fused sweep-cell statistics: logits, labels -> (accuracy, aucs[M]).
+
+    Error-detection AUROC per metric (confidence metrics flipped so higher
+    = more likely error), all inside one jit — the rank-statistic ``auroc``
+    is pure jnp.
+    """
+
+    @jax.jit
+    def run(logits, labels):
+        pred = jnp.argmax(logits, axis=-1)
+        correct = (pred == labels).astype(jnp.float32)
+        errors = 1.0 - correct
+        aucs = []
+        for m in metric_names:
+            score = um.LOGIT_METRICS[m](logits)
+            if m in um.CONFIDENCE_METRICS:
+                score = -score  # flip: higher metric = more confident
+            aucs.append(auroc(score, errors))
+        return jnp.mean(correct), jnp.stack(aucs)
+
+    return run
 
 
 def analyze_uncertainty_thresholds(
