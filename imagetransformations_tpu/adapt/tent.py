@@ -101,6 +101,70 @@ def make_tent_step(model_apply: Callable, tx) -> Callable:
     return step
 
 
+#: (id(model_apply), lr, protocol, threshold, has_raw) -> (ref, jitted scan);
+#: the strong model_apply ref keeps the id valid for the cache lifetime.
+#: Caching matters doubly on the tunneled runtime: a fresh jit per
+#: evaluate_with_tent call would re-COMPILE the adapt step for every
+#: (corruption, severity, protocol) sweep cell.
+_TENT_EVAL_CACHE: dict = {}
+
+
+def _tent_eval_scan_fn(
+    model_apply, lr: float, protocol: str, threshold: float, has_raw: bool
+):
+    """Whole-protocol evaluation as ONE jitted dispatch: ``lax.scan`` over
+    stacked equal-shape batches, TentState as carry, correct-counts
+    accumulated in-graph (the per-batch Python loop paid one step dispatch
+    plus an eager argmax/sum fetch per batch). The 'conditional' gate runs
+    as ``lax.cond`` on the in-graph pixel-entropy fraction."""
+    key = (id(model_apply), float(lr), protocol, float(threshold), bool(has_raw))
+    hit = _TENT_EVAL_CACHE.get(key)
+    if hit is not None:
+        return hit[-1]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+
+    @jax.jit
+    def run(state0: TentState, xs, ys, raws):
+        def do_step(state, x):
+            def loss_fn(bn):
+                logits = model_apply(merge_params(bn, state.frozen_params), x)
+                return entropy_loss(logits), logits
+
+            (_, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.bn_params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.bn_params)
+            bn = optax.apply_updates(state.bn_params, updates)
+            return TentState(bn, state.frozen_params, opt_state), logits
+
+        def infer(state, x):
+            return state, model_apply(
+                merge_params(state.bn_params, state.frozen_params), x
+            )
+
+        def body(state, inp):
+            if has_raw:
+                x, y, raw = inp
+            else:
+                x, y = inp
+            st_in = state0 if protocol == "reset" else state
+            if protocol == "conditional":
+                ent = image_entropy(raw)
+                frac = jnp.mean((ent > threshold).astype(jnp.float32))
+                state2, logits = jax.lax.cond(frac > 0.5, do_step, infer, st_in, x)
+            else:
+                state2, logits = do_step(st_in, x)
+            c = jnp.sum((jnp.argmax(logits, axis=-1) == y).astype(jnp.int32))
+            return state2, c
+
+        inputs = (xs, ys, raws) if has_raw else (xs, ys)
+        state_f, corrects = jax.lax.scan(body, state0, inputs)
+        return state_f, jnp.sum(corrects)
+
+    _TENT_EVAL_CACHE[key] = (model_apply, run)
+    return run
+
+
 def evaluate_with_tent(
     model_apply, params, batches, labels_batches, lr: float = 2.5e-4,
     protocol: str = "continuous", image_entropy_threshold: float = 1.16,
@@ -112,37 +176,72 @@ def evaluate_with_tent(
     entropy threshold; TENT_Pipelines.py:239-303). ``batches`` are
     model-space inputs; image entropy is computed on the matching uint8
     images when provided as (x, raw_u8) tuples.
+
+    The maximal equal-shape batch prefix runs as one scanned dispatch
+    (``_tent_eval_scan_fn``); a ragged tail (dataset not divisible by the
+    batch size) continues per-batch from the scanned state.
     """
     state0, tx = init_tent(params, lr)
-    step = make_tent_step(model_apply, tx)
+    has_raw = bool(batches) and isinstance(batches[0], tuple)
+    if protocol == "conditional" and not has_raw:
+        raise ValueError(
+            "conditional protocol needs (x, raw_u8) batch tuples for "
+            "the pixel-entropy gate (TENT_Pipelines.py:239-303)"
+        )
 
-    @jax.jit
-    def infer(state, x):
-        return model_apply(merge_params(state.bn_params, state.frozen_params), x)
+    def xof(b):
+        return b[0] if has_raw else b
+
+    main_n = 0
+    if batches:
+        s0, l0 = xof(batches[0]).shape, labels_batches[0].shape
+        while (
+            main_n < len(batches)
+            and xof(batches[main_n]).shape == s0
+            and labels_batches[main_n].shape == l0
+        ):
+            main_n += 1
 
     state = state0
     correct = total = 0
-    for xb, yb in zip(batches, labels_batches):
-        raw = None
-        if isinstance(xb, tuple):
-            xb, raw = xb
-        if protocol == "reset":
-            state = state0
-        if protocol == "conditional":
-            if raw is None:
-                raise ValueError(
-                    "conditional protocol needs (x, raw_u8) batch tuples for "
-                    "the pixel-entropy gate (TENT_Pipelines.py:239-303)"
+    if main_n >= 2:
+        xs = jnp.stack([xof(b) for b in batches[:main_n]])
+        ys = jnp.stack(labels_batches[:main_n])
+        raws = jnp.stack([b[1] for b in batches[:main_n]]) if has_raw else None
+        run = _tent_eval_scan_fn(
+            model_apply, lr, protocol, image_entropy_threshold, has_raw
+        )
+        state, c = run(state0, xs, ys, raws)
+        correct += int(c)
+        total += int(ys.size)
+        batches = batches[main_n:]
+        labels_batches = labels_batches[main_n:]
+
+    if batches:  # ragged tail (or a single batch): per-batch path
+        step = make_tent_step(model_apply, tx)
+
+        @jax.jit
+        def infer(st, x):
+            return model_apply(merge_params(st.bn_params, st.frozen_params), x)
+
+        for xb, yb in zip(batches, labels_batches):
+            raw = None
+            if isinstance(xb, tuple):
+                xb, raw = xb
+            if protocol == "reset":
+                state = state0
+            if protocol == "conditional":
+                ent = image_entropy(raw)
+                frac = float(
+                    jnp.mean((ent > image_entropy_threshold).astype(jnp.float32))
                 )
-            ent = image_entropy(raw)
-            frac = float(jnp.mean((ent > image_entropy_threshold).astype(jnp.float32)))
-            if frac > 0.5:
-                state, logits = step(state, xb)
+                if frac > 0.5:
+                    state, logits = step(state, xb)
+                else:
+                    logits = infer(state, xb)
             else:
-                logits = infer(state, xb)
-        else:
-            state, logits = step(state, xb)
-        pred = jnp.argmax(logits, axis=-1)
-        correct += int(jnp.sum(pred == yb))
-        total += int(yb.shape[0])
+                state, logits = step(state, xb)
+            pred = jnp.argmax(logits, axis=-1)
+            correct += int(jnp.sum(pred == yb))
+            total += int(yb.shape[0])
     return correct / max(total, 1)

@@ -102,6 +102,19 @@ def tent_sweep(
     """
     from imagetransformations_tpu.adapt.tent import evaluate_with_tent, init_tent, merge_params
 
+    @jax.jit
+    def _baseline_count(xb_stack, yb_stack):
+        # un-adapted accuracy as ONE scanned dispatch (compiled once per
+        # sweep; the per-batch loop paid a dispatch + eager argmax/sum
+        # fetch per batch on every cell)
+        def body(_, inp):
+            x, y = inp
+            lg = model_apply_bn_train(params, x)
+            return None, jnp.sum((jnp.argmax(lg, -1) == y).astype(jnp.int32))
+
+        _, cs = jax.lax.scan(body, None, (xb_stack, yb_stack))
+        return jnp.sum(cs)
+
     results: dict = {}
     for name in corruptions:
         results[name] = {}
@@ -117,11 +130,18 @@ def tent_sweep(
             row = {}
             for proto in protocols:
                 if proto == "baseline":
-                    correct = total = 0
-                    for (xb, _), yb in zip(batches, lbatches):
-                        pred = jnp.argmax(model_apply_bn_train(params, xb), -1)
-                        correct += int(jnp.sum(pred == yb))
-                        total += int(yb.shape[0])
+                    n = int(xs.shape[0])
+                    nb = n // batch_size
+                    main = nb * batch_size
+                    correct, total = 0, n
+                    if nb:
+                        correct += int(_baseline_count(
+                            xs[:main].reshape((nb, batch_size) + xs.shape[1:]),
+                            labels[:main].reshape(nb, batch_size),
+                        ))
+                    if main < n:  # ragged tail batch
+                        lg = model_apply_bn_train(params, xs[main:])
+                        correct += int(jnp.sum(jnp.argmax(lg, -1) == labels[main:]))
                     row[proto] = correct / max(total, 1)
                 else:
                     row[proto] = evaluate_with_tent(

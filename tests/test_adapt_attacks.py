@@ -304,3 +304,61 @@ class TestAdetOperator:
         for i in range(4):
             ys, xs = np.where(m[i])
             assert m[i][ys.min():ys.max() + 1, xs.min():xs.max() + 1].all()
+
+
+def test_evaluate_with_tent_scan_matches_loop(rng):
+    """The scanned equal-batch fast path (lax.scan + in-graph accuracy)
+    must reproduce the per-batch reference loop exactly for all three
+    protocols, including a ragged tail batch continuing from the scanned
+    state."""
+    from imagetransformations_tpu.adapt.tent import (
+        evaluate_with_tent, image_entropy, init_tent, make_tent_step,
+        merge_params,
+    )
+
+    w = jnp.asarray(rng.standard_normal((48, 10)).astype(np.float32))
+    params = {
+        "bn_scale": jnp.ones((48,)),
+        "bn_bias": jnp.zeros((48,)),
+        "head": {"w": w},
+    }
+
+    def model_apply(p, x):
+        f = x.reshape(x.shape[0], -1)
+        f = f * p["bn_scale"] + p["bn_bias"]
+        return f @ p["head"]["w"]
+
+    raws = [
+        jnp.asarray(rng.integers(0, 256, (16, 4, 4, 3), dtype=np.uint8))
+        for _ in range(4)
+    ] + [jnp.asarray(rng.integers(0, 256, (7, 4, 4, 3), dtype=np.uint8))]
+    xs = [r.astype(jnp.float32) / 255.0 for r in raws]
+    ys = [jnp.asarray(rng.integers(0, 10, (r.shape[0],)), jnp.int32) for r in raws]
+    batches = list(zip(xs, raws))
+
+    def reference_loop(protocol, lr=0.05, thr=1.16):
+        state0, tx = init_tent(params, lr)
+        step = make_tent_step(model_apply, tx)
+        state, correct, total = state0, 0, 0
+        for (xb, raw), yb in zip(batches, ys):
+            if protocol == "reset":
+                state = state0
+            if protocol == "conditional":
+                frac = float(jnp.mean(
+                    (image_entropy(raw) > thr).astype(jnp.float32)))
+                if frac > 0.5:
+                    state, logits = step(state, xb)
+                else:
+                    logits = model_apply(
+                        merge_params(state.bn_params, state.frozen_params), xb)
+            else:
+                state, logits = step(state, xb)
+            correct += int(jnp.sum(jnp.argmax(logits, -1) == yb))
+            total += int(yb.shape[0])
+        return correct / total
+
+    for protocol in ("continuous", "reset", "conditional"):
+        got = evaluate_with_tent(
+            model_apply, params, batches, ys, lr=0.05, protocol=protocol)
+        ref = reference_loop(protocol)
+        assert got == pytest.approx(ref, abs=1e-9), protocol
