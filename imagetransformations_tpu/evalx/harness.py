@@ -414,20 +414,42 @@ def analyze_uncertainty_thresholds(
     """Optimal threshold by Youden's J + flagged counts per metric.
 
     Parity with cifar_iterative_mc.py:174-219 (roc_curve -> argmax(tpr-fpr)).
-    Targets = misclassification.
+    Targets = misclassification. All metrics analyze in ONE jitted dispatch
+    (``_thresholds_fn``); only the final scalar table is fetched.
     """
-    errors = 1.0 - correct
-    table = {}
-    for name, score in metrics.items():
-        s = -score if name in um.CONFIDENCE_METRICS else score
-        thr = youden_threshold(s, errors)
-        flagged = s > thr
-        table[name] = {
-            "threshold": float(thr) * (-1.0 if name in um.CONFIDENCE_METRICS else 1.0),
-            "auroc": float(auroc(s, errors)),
-            "n_flagged": int(jnp.sum(flagged)),
-            "flagged_error_rate": float(
-                jnp.sum(errors * flagged) / jnp.maximum(jnp.sum(flagged), 1)
-            ),
+    names = tuple(metrics)
+    thr, auc, n_flag, err_rate = _thresholds_fn(names)(
+        tuple(metrics[n] for n in names), correct
+    )
+    thr, auc = np.asarray(thr), np.asarray(auc)
+    n_flag, err_rate = np.asarray(n_flag), np.asarray(err_rate)
+    return {
+        name: {
+            "threshold": float(thr[i]),
+            "auroc": float(auc[i]),
+            "n_flagged": int(n_flag[i]),
+            "flagged_error_rate": float(err_rate[i]),
         }
-    return table
+        for i, name in enumerate(names)
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _thresholds_fn(names: tuple):
+    @jax.jit
+    def run(scores: tuple, correct):
+        errors = 1.0 - correct
+        thr, auc, n_flag, err_rate = [], [], [], []
+        for name, score in zip(names, scores):
+            s = -score if name in um.CONFIDENCE_METRICS else score
+            t = youden_threshold(s, errors)
+            flagged = (s > t).astype(jnp.float32)
+            thr.append(t * (-1.0 if name in um.CONFIDENCE_METRICS else 1.0))
+            auc.append(auroc(s, errors))
+            n_flag.append(jnp.sum(flagged))
+            err_rate.append(
+                jnp.sum(errors * flagged) / jnp.maximum(jnp.sum(flagged), 1)
+            )
+        return (jnp.stack(thr), jnp.stack(auc), jnp.stack(n_flag), jnp.stack(err_rate))
+
+    return run
