@@ -124,12 +124,15 @@ def swag_collect(
     opt_state = tx.init(params)
     step = make_train_step(model_apply, tx)
     state = swag.init(params, max_rank=max_rank)
+    # jit the moment/ring-buffer update: eager it is ~3 tree_maps of jnp
+    # ops across every param leaf PER STEP (hundreds of dispatches)
+    update = jax.jit(swag.update)
     i = 0
     for x, y in data_iter:
         params, batch_stats, opt_state, loss, acc = step(
             params, batch_stats, opt_state, x, y
         )
         if i % update_every == 0:
-            state = swag.update(state, params)
+            state = update(state, params)
         i += 1
     return params, batch_stats, state

@@ -170,21 +170,28 @@ def swag_pipeline(
         model_apply_train, params, batch_stats, train_iter_fn(),
         lr=lr, max_rank=max_rank,
     )
-    stacked = swag.sample_many(state, key, num_weight_samples)
-    take = jax.tree_util.tree_map(lambda l: l[:eval_mc_samples], stacked)
-    mc_logits = swag.bma_logits(
-        lambda p, x: model_apply({"params": p, "batch_stats": batch_stats}, x),
-        take, eval_images,
-    )  # [S, B, C]
-    probs = jnp.mean(jax.nn.softmax(mc_logits, -1), axis=0)
-    return {
-        "probs": probs,
-        "entropy": umc.predictive_entropy(mc_logits, base2=False),
-        "one_minus_max": 1.0 - jnp.max(probs, -1),
-        "jsd": umc.jensen_shannon(mc_logits),
-        "variance": umc.mc_variance(mc_logits),
-        "swag_state": state,
-    }
+    # ONE jitted dispatch for draw -> S-sample BMA forward -> every
+    # uncertainty reduction (eager vmaps would dispatch per op per leaf)
+    @jax.jit
+    def _sample_and_eval(st, k, imgs):
+        stacked = swag.sample_many(st, k, num_weight_samples)
+        take = jax.tree_util.tree_map(lambda l: l[:eval_mc_samples], stacked)
+        mc_logits = swag.bma_logits(
+            lambda p, x: model_apply({"params": p, "batch_stats": batch_stats}, x),
+            take, imgs,
+        )  # [S, B, C]
+        probs = jnp.mean(jax.nn.softmax(mc_logits, -1), axis=0)
+        return {
+            "probs": probs,
+            "entropy": umc.predictive_entropy(mc_logits, base2=False),
+            "one_minus_max": 1.0 - jnp.max(probs, -1),
+            "jsd": umc.jensen_shannon(mc_logits),
+            "variance": umc.mc_variance(mc_logits),
+        }
+
+    out = _sample_and_eval(state, key, eval_images)
+    out["swag_state"] = state
+    return out
 
 
 def transform_folder(
