@@ -96,36 +96,13 @@ def _positional(argv, n: int, usage: str):
 
 
 def _get_model_and_data(data_root: str):
-    """A small briefly-trained ResNet-20 + CIFAR-10 (synthetic fallback) —
-    the same smoke setup as examples/_common.py."""
-    import jax
+    """Smoke model + data via the shared recipe (utils.demo)."""
     import jax.numpy as jnp
 
-    from imagetransformations_tpu.models import resnet20
-    from imagetransformations_tpu.models.resnet import normalize_cifar
-    from imagetransformations_tpu.models.training import fit
-    from imagetransformations_tpu.pipeline.datasets import load_cifar10, synthetic
+    from imagetransformations_tpu.utils.demo import get_data, get_model
 
-    try:
-        xtr, ytr = load_cifar10(data_root, train=True)
-        xte, yte = load_cifar10(data_root, train=False)
-        xtr, ytr, xte, yte = xtr[:512], ytr[:512], xte[:256], yte[:256]
-    except (FileNotFoundError, OSError):
-        print(f"no CIFAR-10 under {data_root!r}; using synthetic smoke data")
-        xtr, ytr = synthetic(512, seed=0)
-        xte, yte = synthetic(256, seed=1)
-
-    model = resnet20()
-
-    def to_model(u8):
-        return normalize_cifar(u8.astype(jnp.float32) / 255.0)
-
-    batches = [
-        (to_model(jnp.asarray(xtr[i : i + 128])), jnp.asarray(ytr[i : i + 128]))
-        for i in range(0, len(xtr), 128)
-    ]
-    variables = fit(model, batches, epochs=3)
-    model_fn = jax.jit(lambda x: model.apply(variables, x))
+    xtr, ytr, xte, yte = get_data(data_root, verbose=True)
+    model_fn, to_model, *_ = get_model(xtr, ytr)
     return model_fn, to_model, jnp.asarray(xte), jnp.asarray(yte)
 
 
@@ -150,10 +127,18 @@ def cmd_chain(argv):
     from imagetransformations_tpu.pipeline.chain import build_chain_fn
     from imagetransformations_tpu.pipeline.io import load_folder_images, save_batch_images
 
+    spec = None
+    argv = list(argv)
+    for i, a in enumerate(argv):
+        if a.startswith("--ops="):
+            spec = a.split("=", 1)[1]
+        elif a == "--ops" and i + 1 < len(argv):
+            spec = argv[i + 1]
+            argv[i + 1] = "--"  # consumed: don't parse the value as a positional
+    argv = [a for a in argv if a != "--"]
     in_dir, out_dir = _positional(argv, 2, "chain IN_DIR OUT_DIR --ops OP:V,... [--size=WxH]")[:2]
-    spec = next((a.split("=", 1)[1] for a in argv if a.startswith("--ops=")), None)
     if spec is None:
-        raise SystemExit("chain requires --ops=, e.g. --ops=blur:1.5,rotation:15,grayscale")
+        raise SystemExit("chain requires --ops, e.g. --ops=blur:1.5,rotation:15,grayscale")
     strict = any(a == "--strict-parity" for a in argv)
     chain = parse_ops(spec)
     imgs, paths = load_folder_images(in_dir, size=_parse_size(argv))

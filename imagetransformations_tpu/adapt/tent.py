@@ -101,12 +101,32 @@ def make_tent_step(model_apply: Callable, tx) -> Callable:
     return step
 
 
-#: (id(model_apply), lr, protocol, threshold, has_raw) -> (ref, jitted scan);
-#: the strong model_apply ref keeps the id valid for the cache lifetime.
-#: Caching matters doubly on the tunneled runtime: a fresh jit per
-#: evaluate_with_tent call would re-COMPILE the adapt step for every
+from imagetransformations_tpu.core.jitutil import IdLRUCache
+
+#: jitted whole-protocol scans per (model_apply, lr, protocol, threshold,
+#: has_raw). Caching matters doubly on the tunneled runtime: a fresh jit
+#: per evaluate_with_tent call would re-COMPILE the adapt step for every
 #: (corruption, severity, protocol) sweep cell.
-_TENT_EVAL_CACHE: dict = {}
+_TENT_EVAL_CACHE = IdLRUCache(maxsize=16)
+
+#: jitted single-batch (step, infer) pairs per (model_apply, lr) for the
+#: ragged-tail path — same recompile-per-call trap as the scan
+_TENT_STEP_CACHE = IdLRUCache(maxsize=16)
+
+
+def _tent_step_and_infer(model_apply, lr: float):
+    hit = _TENT_STEP_CACHE.get((model_apply,), (float(lr),))
+    if hit is not None:
+        return hit
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    step = make_tent_step(model_apply, tx)
+
+    @jax.jit
+    def infer(st, x):
+        return model_apply(merge_params(st.bn_params, st.frozen_params), x)
+
+    _TENT_STEP_CACHE.put((model_apply,), (float(lr),), (step, infer))
+    return step, infer
 
 
 def _tent_eval_scan_fn(
@@ -117,10 +137,10 @@ def _tent_eval_scan_fn(
     accumulated in-graph (the per-batch Python loop paid one step dispatch
     plus an eager argmax/sum fetch per batch). The 'conditional' gate runs
     as ``lax.cond`` on the in-graph pixel-entropy fraction."""
-    key = (id(model_apply), float(lr), protocol, float(threshold), bool(has_raw))
-    hit = _TENT_EVAL_CACHE.get(key)
+    extra = (float(lr), protocol, float(threshold), bool(has_raw))
+    hit = _TENT_EVAL_CACHE.get((model_apply,), extra)
     if hit is not None:
-        return hit[-1]
+        return hit
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
 
     @jax.jit
@@ -161,7 +181,7 @@ def _tent_eval_scan_fn(
         state_f, corrects = jax.lax.scan(body, state0, inputs)
         return state_f, jnp.sum(corrects)
 
-    _TENT_EVAL_CACHE[key] = (model_apply, run)
+    _TENT_EVAL_CACHE.put((model_apply,), extra, run)
     return run
 
 
@@ -183,6 +203,11 @@ def evaluate_with_tent(
     """
     state0, tx = init_tent(params, lr)
     has_raw = bool(batches) and isinstance(batches[0], tuple)
+    if any(isinstance(b, tuple) != has_raw for b in batches):
+        raise ValueError(
+            "batches mix (x, raw_u8) tuples with bare arrays — supply one "
+            "form consistently"
+        )
     if protocol == "conditional" and not has_raw:
         raise ValueError(
             "conditional protocol needs (x, raw_u8) batch tuples for "
@@ -218,11 +243,7 @@ def evaluate_with_tent(
         labels_batches = labels_batches[main_n:]
 
     if batches:  # ragged tail (or a single batch): per-batch path
-        step = make_tent_step(model_apply, tx)
-
-        @jax.jit
-        def infer(st, x):
-            return model_apply(merge_params(st.bn_params, st.frozen_params), x)
+        step, infer = _tent_step_and_infer(model_apply, lr)
 
         for xb, yb in zip(batches, labels_batches):
             raw = None

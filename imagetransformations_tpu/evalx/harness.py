@@ -196,9 +196,37 @@ def _finalize_eval(logits, labels, metric_names):
     }
 
 
-#: (id(model_fn), id(to_model_space), batch_size) -> (refs..., jitted fn);
-#: strong refs keep the ids valid for the cache lifetime
-_FWD_CACHE: dict = {}
+from imagetransformations_tpu.core.jitutil import IdLRUCache
+
+#: jitted scanned-forward per (model_fn, to_model_space, batch_size) —
+#: bounded LRU so cached params/executables don't accumulate forever
+_FWD_CACHE = IdLRUCache(maxsize=16)
+
+#: jitted sharded forwards per (model, preprocess[, corrupt_fn], mesh, axis)
+_SHARDED_FWD_CACHE = IdLRUCache(maxsize=16)
+
+
+def _sharded_eval_fwd(model_fn, to_model_space, mesh, axis: str):
+    """Cached generation-free data-parallel forward: images -> logits with
+    the batch dim GSPMD-partitioned over ``mesh[axis]``. Compiled ONCE per
+    (model, preprocess, mesh, axis) — the sweep's mesh path reuses it for
+    every (corruption, severity) cell instead of recompiling the forward
+    inside each cell's closure."""
+    fwd = _SHARDED_FWD_CACHE.get((model_fn, to_model_space, mesh), (axis, "nogen"))
+    if fwd is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(axis))
+
+        @jax.jit
+        def fwd(xb):
+            logits = model_fn(to_model_space(xb))
+            return jax.lax.with_sharding_constraint(logits, sharding)
+
+        _SHARDED_FWD_CACHE.put(
+            (model_fn, to_model_space, mesh), (axis, "nogen"), fwd
+        )
+    return fwd
 
 
 def _forward_all_fn(model_fn, to_model_space, batch_size: int):
@@ -212,10 +240,9 @@ def _forward_all_fn(model_fn, to_model_space, batch_size: int):
     overhead). Memory behavior is unchanged: scan keeps one batch of
     activations live at a time.
     """
-    key = (id(model_fn), id(to_model_space), int(batch_size))
-    hit = _FWD_CACHE.get(key)
+    hit = _FWD_CACHE.get((model_fn, to_model_space), (int(batch_size),))
     if hit is not None:
-        return hit[-1]
+        return hit
 
     @jax.jit
     def run(images_u8):
@@ -235,7 +262,7 @@ def _forward_all_fn(model_fn, to_model_space, batch_size: int):
         lg = lg.reshape((nb * bs,) + lg.shape[2:])
         return lg[:n]
 
-    _FWD_CACHE[key] = (model_fn, to_model_space, run)
+    _FWD_CACHE.put((model_fn, to_model_space), (int(batch_size),), run)
     return run
 
 
@@ -301,12 +328,23 @@ def evaluate_sharded(
     batch_size = max(int(batch_size), ndev)
     sharding = NamedSharding(mesh, P(axis))
 
-    @jax.jit
-    def fwd(xb, k):
-        if corrupt_fn is not None:
-            xb = corrupt_fn(xb, k)
-        logits = model_fn(to_model_space(xb))
-        return jax.lax.with_sharding_constraint(logits, sharding)
+    # cache the jitted sharded forward per (model, preprocess, corrupt_fn,
+    # mesh/axis): a fresh closure every call would recompile per invocation
+    fwd = _SHARDED_FWD_CACHE.get(
+        (model_fn, to_model_space, corrupt_fn, mesh), (axis,)
+    )
+    if fwd is None:
+
+        @jax.jit
+        def fwd(xb, k):
+            if corrupt_fn is not None:
+                xb = corrupt_fn(xb, k)
+            logits = model_fn(to_model_space(xb))
+            return jax.lax.with_sharding_constraint(logits, sharding)
+
+        _SHARDED_FWD_CACHE.put(
+            (model_fn, to_model_space, corrupt_fn, mesh), (axis,), fwd
+        )
 
     if key is None:
         key = jax.random.key(0)
@@ -345,16 +383,27 @@ def corruption_sweep(
     result[corruption][severity] = {accuracy, auroc per metric}.
     AUROC targets error detection: metric vs (prediction incorrect).
 
-    With ``mesh`` set, each (corruption, severity) cell runs as ONE
-    data-parallel dispatch over ``mesh[mesh_axis]`` (generation + forward
-    GSPMD-partitioned along the batch; see ``evaluate_sharded``) — the
-    multi-chip form of the reference's 15x5x10k sweep
-    (FINAL_cifar_corrupted.py:22-48). Results are bit-identical to the
-    single-chip path when the dataset size divides the axis size (the same
-    per-cell PRNG key drives generation).
+    With ``mesh`` set, generation runs on the batch-sharded dataset (the
+    plain-XLA generators GSPMD-partition under their own jits) and the
+    forward is a SHARED data-parallel executable (``_sharded_eval_fwd``,
+    compiled once for the whole sweep — a per-cell forward closure would
+    recompile model+generator for all 75 cells) — the multi-chip form of
+    the reference's 15x5x10k sweep (FINAL_cifar_corrupted.py:22-48).
+    Results match the single-chip path when the dataset size divides the
+    axis size (the same per-cell PRNG key drives generation).
     """
     names = corruption_names or tuple(CORRUPTIONS)
     stats = _cell_stats_fn(tuple(metric_names))
+    xs_sharded = pad = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.shape[mesh_axis]
+        pad = (-int(clean_images_u8.shape[0])) % ndev
+        xg = clean_images_u8
+        if pad:
+            xg = jnp.concatenate([xg, jnp.repeat(xg[-1:], pad, axis=0)])
+        xs_sharded = jax.device_put(xg, NamedSharding(mesh, P(mesh_axis)))
     out: dict = {}
     for name in names:
         out[name] = {}
@@ -362,13 +411,12 @@ def corruption_sweep(
         for sev in severities:
             key, k = jax.random.split(key)
             if mesh is not None:
-                res = evaluate_sharded(
-                    model_fn, to_model_space, clean_images_u8, labels, mesh,
-                    axis=mesh_axis, batch_size=int(clean_images_u8.shape[0]),
-                    metric_names=(),
-                    corrupt_fn=lambda x, kk, f=fn, v=sevs[sev - 1], k0=k: f(x, v, k0),
-                )
-                logits = res["logits"]
+                imgs = fn(xs_sharded, sevs[sev - 1], k)
+                logits = _sharded_eval_fwd(
+                    model_fn, to_model_space, mesh, mesh_axis
+                )(imgs)
+                if pad:
+                    logits = logits[:-pad]
             else:
                 # THREE dispatches per cell: generate, scanned forward,
                 # fused stats (accuracy + every AUROC in one jit) — the
@@ -403,7 +451,8 @@ def _cell_stats_fn(metric_names: tuple):
             if m in um.CONFIDENCE_METRICS:
                 score = -score  # flip: higher metric = more confident
             aucs.append(auroc(score, errors))
-        return jnp.mean(correct), jnp.stack(aucs)
+        stacked = jnp.stack(aucs) if aucs else jnp.zeros((0,), jnp.float32)
+        return jnp.mean(correct), stacked
 
     return run
 
@@ -418,6 +467,8 @@ def analyze_uncertainty_thresholds(
     (``_thresholds_fn``); only the final scalar table is fetched.
     """
     names = tuple(metrics)
+    if not names:
+        return {}
     thr, auc, n_flag, err_rate = _thresholds_fn(names)(
         tuple(metrics[n] for n in names), correct
     )

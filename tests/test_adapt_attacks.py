@@ -362,3 +362,19 @@ def test_evaluate_with_tent_scan_matches_loop(rng):
             model_apply, params, batches, ys, lr=0.05, protocol=protocol)
         ref = reference_loop(protocol)
         assert got == pytest.approx(ref, abs=1e-9), protocol
+
+
+def test_evaluate_with_tent_rejects_mixed_batches(rng):
+    from imagetransformations_tpu.adapt.tent import evaluate_with_tent
+
+    w = jnp.asarray(rng.standard_normal((48, 10)).astype(np.float32))
+    params = {"bn_scale": jnp.ones((48,)), "head": {"w": w}}
+
+    def model_apply(p, x):
+        return (x.reshape(x.shape[0], -1) * p["bn_scale"]) @ p["head"]["w"]
+
+    x = jnp.asarray(rng.random((8, 4, 4, 3)).astype(np.float32))
+    raw = jnp.asarray(rng.integers(0, 256, (8, 4, 4, 3), dtype=np.uint8))
+    y = jnp.asarray(rng.integers(0, 10, (8,)), jnp.int32)
+    with pytest.raises(ValueError, match="mix"):
+        evaluate_with_tent(model_apply, params, [(x, raw), x], [y, y])

@@ -542,3 +542,34 @@ def test_cli_parse_ops_and_chain(tmp_path, rng):
     assert len(list(out.iterdir())) == 2
     with pytest.raises(SystemExit):
         main(["nosuchcommand"])
+
+
+def test_corruption_sweep_accuracy_only_and_cli_ops_forms(rng):
+    """Empty metric_names must yield accuracy-only cells (regression:
+    jnp.stack([]) crashed); the CLI accepts both --ops= and two-token
+    --ops forms."""
+    from imagetransformations_tpu.evalx import corruption_sweep
+    from imagetransformations_tpu.evalx.harness import analyze_uncertainty_thresholds
+    from imagetransformations_tpu.pipeline.datasets import synthetic
+
+    imgs, labels = synthetic(n=16)
+    imgs, labels = jnp.asarray(imgs), jnp.asarray(labels)
+    w = jnp.asarray(rng.standard_normal((3072, 10)).astype(np.float32) * 0.01)
+    out = corruption_sweep(
+        lambda x: x.reshape(x.shape[0], -1) @ w,
+        lambda x: x.astype(jnp.float32) / 255.0,
+        imgs, labels, jax.random.key(0),
+        corruption_names=("contrast",), severities=(1,), metric_names=(),
+    )
+    cell = out["contrast"][1]
+    assert 0.0 <= cell["accuracy"] <= 1.0 and cell["auroc"] == {}
+    assert analyze_uncertainty_thresholds({}, jnp.ones((4,))) == {}
+
+    from imagetransformations_tpu.__main__ import cmd_chain
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="chain requires --ops"):
+        cmd_chain(["a", "b"])
+    # two-token form parses the next token as the spec (bad dir errors later)
+    with _pytest.raises(SystemExit, match="no images"):
+        cmd_chain(["/nonexistent_dir_xyz", "/tmp/out_xyz", "--ops", "blur:1.5"])
