@@ -85,6 +85,14 @@ def crossover(a: Individual, b: Individual, rng: random.Random) -> Individual:
     return Individual(a.genome[:cut] + b.genome[cut:])
 
 
+from imagetransformations_tpu.core.jitutil import IdLRUCache
+
+#: fused chain+forward+uncertainty executables per (model, preprocess,
+#: genome, threshold). Elites and duplicate genomes recur every
+#: generation; without this each fitness call re-jitted the whole chain.
+_FITNESS_CACHE = IdLRUCache(maxsize=128)
+
+
 def fitness_fn(
     model_fn: Callable[[jnp.ndarray], jnp.ndarray],
     to_model_space: Callable[[jnp.ndarray], jnp.ndarray],
@@ -94,13 +102,28 @@ def fitness_fn(
     msp_threshold: float = 0.8,
 ) -> float:
     """fitness = 1 / (1 + mean uncertainty); uncertainty = 1 if MSP < thr
-    else 1 - MSP (cifar_image_transformations.py:177-201)."""
-    fn = build_chain_fn(individual.to_chain())
-    transformed = fn(images_u8, key)
-    logits = model_fn(to_model_space(transformed))
-    msp = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
-    unc = jnp.where(msp < msp_threshold, 1.0, 1.0 - msp)
-    return float(1.0 / (1.0 + jnp.mean(unc)))
+    else 1 - MSP (cifar_image_transformations.py:177-201). Chain, forward
+    and the uncertainty reduction run as ONE jitted dispatch, cached per
+    genome."""
+    genome_key = tuple(individual.genome)
+    fn = _FITNESS_CACHE.get(
+        (model_fn, to_model_space), (genome_key, float(msp_threshold))
+    )
+    if fn is None:
+        chain = individual.to_chain()
+
+        @jax.jit
+        def fn(x, k):
+            transformed = build_chain_fn(chain, jit=False)(x, k)
+            logits = model_fn(to_model_space(transformed))
+            msp = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+            unc = jnp.where(msp < msp_threshold, 1.0, 1.0 - msp)
+            return 1.0 / (1.0 + jnp.mean(unc))
+
+        _FITNESS_CACHE.put(
+            (model_fn, to_model_space), (genome_key, float(msp_threshold)), fn
+        )
+    return float(fn(images_u8, key))
 
 
 def evolutionary_search(
