@@ -68,32 +68,60 @@ CORRUPTION_TO_STRATEGY: dict[str, Callable] = {
 }
 
 
+from imagetransformations_tpu.core.jitutil import IdLRUCache
+
+#: fused view-generation + V forwards + averaging per (model_fn, stack)
+_TTA_CACHE = IdLRUCache(maxsize=16)
+
+
 def predict_with_tta(
     model_fn: Callable[[jnp.ndarray], jnp.ndarray],
     images: jnp.ndarray,
     key: jax.Array,
     stack: Callable = gentle_stack,
 ) -> jnp.ndarray:
-    """Mean softmax over the stack's views -> [B, C] probs."""
-    views = stack(images, key)
-    probs = jnp.stack([jax.nn.softmax(model_fn(v), axis=-1) for v in views])
-    return jnp.mean(probs, axis=0)
+    """Mean softmax over the stack's views -> [B, C] probs (one jitted
+    dispatch: view generation, every forward, and the average fuse)."""
+    fn = _TTA_CACHE.get((model_fn, stack))
+    if fn is None:
+
+        @jax.jit
+        def fn(x, k):
+            views = stack(x, k)
+            probs = jnp.stack(
+                [jax.nn.softmax(model_fn(v), axis=-1) for v in views]
+            )
+            return jnp.mean(probs, axis=0)
+
+        _TTA_CACHE.put((model_fn, stack), (), fn)
+    return fn(images, key)
 
 
 # ------------------------------------------------------- adaptive TTA
 
 
 def adaptive_view_probs(model_fn, images: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-    """[V, B, C] probs for the adaptive-TTA view set (tta_initial.py:69-90)."""
-    k1, _ = jax.random.split(key)
-    views = [
-        images,
-        wp.flip_vertical(images),
-        _pad_crop(images, 2, k1),
-        ew.apply_brightness(images, 0.1),
-        ew.apply_contrast(images, 0.9),
-    ]
-    return jnp.stack([jax.nn.softmax(model_fn(v), axis=-1) for v in views])
+    """[V, B, C] probs for the adaptive-TTA view set (tta_initial.py:69-90);
+    all views + forwards as one cached jitted dispatch."""
+    fn = _TTA_CACHE.get((model_fn,), ("adaptive",))
+    if fn is None:
+
+        @jax.jit
+        def fn(x, key):
+            k1, _ = jax.random.split(key)
+            views = [
+                x,
+                wp.flip_vertical(x),
+                _pad_crop(x, 2, k1),
+                ew.apply_brightness(x, 0.1),
+                ew.apply_contrast(x, 0.9),
+            ]
+            return jnp.stack(
+                [jax.nn.softmax(model_fn(v), axis=-1) for v in views]
+            )
+
+        _TTA_CACHE.put((model_fn,), ("adaptive",), fn)
+    return fn(images, key)
 
 
 def fit_adaptive_weights(
