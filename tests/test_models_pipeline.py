@@ -573,3 +573,22 @@ def test_corruption_sweep_accuracy_only_and_cli_ops_forms(rng):
     # two-token form parses the next token as the spec (bad dir errors later)
     with _pytest.raises(SystemExit, match="no images"):
         cmd_chain(["/nonexistent_dir_xyz", "/tmp/out_xyz", "--ops", "blur:1.5"])
+
+
+def test_id_lru_cache_semantics():
+    """Identity keying, LRU eviction, and the stale-id safety property:
+    while an entry is cached its key objects are held strongly, so a new
+    object can never reuse a cached id."""
+    from imagetransformations_tpu.core.jitutil import IdLRUCache
+
+    c = IdLRUCache(maxsize=2)
+    f, g, h = (lambda: 1), (lambda: 2), (lambda: 3)
+    c.put((f,), (1,), "F")
+    c.put((g,), (1,), "G")
+    assert c.get((f,), (1,)) == "F"
+    assert c.get((f,), (2,)) is None  # extra participates in the key
+    c.put((h,), (1,), "H")  # evicts LRU = g (f was refreshed by the get)
+    assert c.get((g,), (1,)) is None
+    assert c.get((f,), (1,)) == "F" and c.get((h,), (1,)) == "H"
+    # distinct live objects always miss each other's entries
+    assert c.get((lambda: 4,), (1,)) is None
