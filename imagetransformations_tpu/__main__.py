@@ -9,6 +9,9 @@ exposes the equivalent workflows as subcommands over the typed configs in
   random-grid sweep over a folder, one fused dispatch per batch.
 - ``chain IN_DIR OUT_DIR --ops blur:1.5,rotation:15,grayscale`` — apply a
   declarative op-chain (fused megakernel where it matches) to a folder.
+- ``corrupt IN_DIR OUT_DIR``      — CIFAR-10-C-style store generation: every
+  (image, corruption, severity) combination from the 19 on-device
+  generators (``--corruptions=fog,frost --severities=1,3,5``).
 - ``sweep``                       — FINAL_cifar_corrupted.py: corruption x
   severity x metric sweep (+AUROC plots). ``--data-root`` for real CIFAR-10;
   synthetic smoke data otherwise.
@@ -198,9 +201,66 @@ def cmd_report(argv):
     print(f"histograms in {cfg.out_dir}")
 
 
+def cmd_corrupt(argv):
+    """Generate a CIFAR-10-C-style corrupted store from a folder of images:
+    one output image per (input, corruption, severity)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from imagetransformations_tpu.evalx.harness import (
+        CORRUPTIONS, EXTRA_CORRUPTIONS, corrupt,
+    )
+    from imagetransformations_tpu.pipeline.io import load_folder_images
+
+    in_dir, out_dir = _positional(
+        argv, 2,
+        "corrupt IN_DIR OUT_DIR [--corruptions=a,b] [--severities=1,3,5] [--size=WxH]",
+    )[:2]
+    names = next(
+        (a.split("=", 1)[1].split(",") for a in argv if a.startswith("--corruptions=")),
+        list(CORRUPTIONS),
+    )
+    sevs = next(
+        (
+            [int(s) for s in a.split("=", 1)[1].split(",")]
+            for a in argv
+            if a.startswith("--severities=")
+        ),
+        [1, 2, 3, 4, 5],
+    )
+    known = set(CORRUPTIONS) | set(EXTRA_CORRUPTIONS)
+    bad = [n for n in names if n not in known]
+    if bad:
+        raise SystemExit(f"unknown corruptions {bad}; known: {sorted(known)}")
+    imgs, paths = load_folder_images(in_dir, size=_parse_size(argv))
+    if len(paths) == 0:
+        raise SystemExit(f"no images found under {in_dir}")
+    x = jnp.asarray(imgs)
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.key(0)
+    count = 0
+    for name in names:
+        for sev in sevs:
+            key, k = jax.random.split(key)
+            out = np.asarray(corrupt(x, name, sev, k))
+            for i, p in enumerate(paths):
+                stem = os.path.splitext(os.path.basename(p))[0]
+                Image.fromarray(out[i]).save(
+                    os.path.join(out_dir, f"{stem}_{name}_severity{sev}.png")
+                )
+                count += 1
+    print(
+        f"wrote {count} corrupted images ({len(names)} corruptions x "
+        f"{len(sevs)} severities) to {out_dir}"
+    )
+
+
 _COMMANDS = {
     "transform": cmd_transform,
     "chain": cmd_chain,
+    "corrupt": cmd_corrupt,
     "sweep": cmd_sweep,
     "report": cmd_report,
 }
