@@ -195,17 +195,26 @@ def swag_pipeline(
 
 
 def transform_folder(
-    in_dir: str, out_dir: str, key=None, size=None
+    in_dir: str, out_dir: str, key=None, size=None, native: bool | None = None
 ) -> dict:
     """transformation.py __main__ equivalent: folder -> 8-type random-grid
-    transform sweep -> jpegs named {name}_{type}_{value}_corrupted."""
+    transform sweep -> jpegs named {name}_{type}_{value}_corrupted.
+
+    ``native`` routes decode AND encode through the multithreaded C++
+    libjpeg path (pipeline.native_io); the default auto-detects (native
+    when the library builds and ``size`` is given — decode needs a target
+    size — PIL otherwise). Host image IO dominates the end-to-end wall
+    time, so the native path is the difference between an IO-bound and a
+    compute-visible run.
+    """
+    from imagetransformations_tpu.pipeline import native_io
     from imagetransformations_tpu.pipeline.batch import apply_all_transformations
     from imagetransformations_tpu.pipeline.io import load_folder_images
 
-    from PIL import Image
-
+    if native is None:
+        native = size is not None and native_io.native_available()
     key = key if key is not None else jax.random.key(0)
-    imgs, paths = load_folder_images(in_dir, size=size)
+    imgs, paths = load_folder_images(in_dir, size=size, native=native)
     if len(paths) == 0:
         return {}
     res = apply_all_transformations(jnp.asarray(imgs), key)
@@ -214,9 +223,18 @@ def transform_folder(
     for t, (vals, arrs) in res.items():
         arrs = np.asarray(arrs)
         vals = np.asarray(vals)
-        for i, p in enumerate(paths):
-            name = os.path.splitext(os.path.basename(p))[0]
-            fn = f"{name}_{t}_{round(float(vals[i]), 2)}_corrupted.jpeg"
-            Image.fromarray(arrs[i]).save(os.path.join(out_dir, fn))
-            written.setdefault(t, []).append(fn)
+        names = [
+            f"{os.path.splitext(os.path.basename(p))[0]}_{t}_"
+            f"{round(float(vals[i]), 2)}_corrupted.jpeg"
+            for i, p in enumerate(paths)
+        ]
+        out_paths = [os.path.join(out_dir, fn) for fn in names]
+        if native and arrs.shape[-1] == 3:
+            native_io.encode_batch(arrs, out_paths)
+        else:
+            from PIL import Image
+
+            for img, p in zip(arrs, out_paths):
+                Image.fromarray(img).save(p)
+        written[t] = names
     return written
