@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from imagetransformations_tpu.core.jitutil import IdLRUCache
+
+#: jitted shard_map'ped chain executables per (mesh, axis, chain structure)
+_CHAIN_FN_CACHE = IdLRUCache(maxsize=16)
+
 
 def data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     """1-D mesh over the first ``n_devices`` local devices."""
@@ -132,7 +137,9 @@ def sharded_chain_fn(
     unsharded chain on an 8-device mesh (tests/test_models_pipeline.py and
     the driver's dryrun_multichip gate).
     """
-    from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
+    from imagetransformations_tpu.pipeline.chain import (
+        OpSpec, _round_budget, build_chain_fn,
+    )
 
     chain = list(chain)
     lifted: list[tuple[int, str]] = []  # (spec index, param key)
@@ -156,31 +163,58 @@ def sharded_chain_fn(
                 and "max_angle_deg" not in sp.params
                 and float(np.abs(arr).max()) <= 45.0
             ):
-                new_params["max_angle_deg"] = float(np.abs(arr).max())
+                # inject the ROUNDED routing budget so every angle vector
+                # within the same 5-degree budget reuses one executable
+                new_params["max_angle_deg"] = _round_budget(
+                    float(np.abs(arr).max())
+                )
                 changed = True
         if changed:
             chain[si] = OpSpec(sp.name, new_params)
 
-    spec = P(axis)
-
-    def body(x, *vals):
-        local = list(chain)
-        for (si, k), v in zip(lifted, vals):
-            p = dict(local[si].params)
-            p[k] = v
-            local[si] = OpSpec(local[si].name, p)
-        return build_chain_fn(local, jit=False, **build_kwargs)(x)
-
-    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
-    # annotation, which the vma checker (on by default) rejects
-    mapped = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(spec,) * (1 + len(arrays)),
-        out_specs=spec,
-        check_vma=False,
+    # the executable depends only on the chain STRUCTURE (op names, static
+    # params incl. the rounded budget, which params are lifted) — cache it
+    # so repeated calls with fresh per-image parameter values (passed as
+    # operands below, never closure constants) skip retrace + recompile
+    chain_key = tuple(
+        (
+            sp.name,
+            tuple(sorted(
+                (k, v) for k, v in sp.params.items()
+                if isinstance(v, (int, float, bool, str)) or v is None
+            )),
+        )
+        for sp in chain
     )
+    extra = (
+        axis,
+        chain_key,
+        tuple(lifted),
+        tuple(sorted(build_kwargs.items())),
+    )
+    jitted = _CHAIN_FN_CACHE.get((mesh,), extra)
+    if jitted is None:
+        spec = P(axis)
+
+        def body(x, *vals):
+            local = list(chain)
+            for (si, k), v in zip(lifted, vals):
+                p = dict(local[si].params)
+                p[k] = v
+                local[si] = OpSpec(local[si].name, p)
+            return build_chain_fn(local, jit=False, **build_kwargs)(x)
+
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the vma checker (on by default) rejects
+        jitted = jax.jit(jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec,) * (1 + len(arrays)),
+            out_specs=spec,
+            check_vma=False,
+        ))
+        _CHAIN_FN_CACHE.put((mesh,), extra, jitted)
     if not arrays:
-        return jax.jit(mapped)
+        return jitted
     arrays_t = tuple(arrays)
-    return jax.jit(lambda images: mapped(images, *arrays_t))
+    return lambda images: jitted(images, *arrays_t)

@@ -180,6 +180,22 @@ def test_sharded_chain_fn_per_image_angles(rng):
     ref = np.asarray(build_chain_fn(chain)(imgs))
     np.testing.assert_array_equal(out, ref)
 
+    # a second call with FRESH angle values in the same 5-degree routing
+    # budget must reuse the cached executable (values are operands, not
+    # closure constants) and still match the unsharded chain
+    from imagetransformations_tpu.pipeline.sharding import _CHAIN_FN_CACHE
+
+    n_cached = len(_CHAIN_FN_CACHE._data)
+    angles2 = np.asarray(rng.uniform(-30.0, 30.0, size=8).astype(np.float32))
+    chain2 = [
+        OpSpec("blur", {"radius": 1.5}),
+        OpSpec("rotation", {"angle": angles2}),
+        OpSpec("grayscale"),
+    ]
+    out2 = np.asarray(sharded_chain_fn(chain2, mesh)(shard_images(imgs, mesh)))
+    assert len(_CHAIN_FN_CACHE._data) == n_cached  # no new executable
+    np.testing.assert_array_equal(out2, np.asarray(build_chain_fn(chain2)(imgs)))
+
 
 def test_io_roundtrip(tmp_path, rng):
     from imagetransformations_tpu.pipeline.io import (
