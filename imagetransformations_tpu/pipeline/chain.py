@@ -194,8 +194,33 @@ def build_chain_fn(
     fused into single gathers and intermediates stay f32. With True, every op
     quantizes to uint8 semantics exactly like the reference's sequential PIL
     calls.
+
+    When every chain parameter is a plain scalar, the jitted function is
+    CACHED by (chain values, flags): repeated ``build_chain_fn`` calls for
+    the same chain reuse one executable instead of re-tracing a fresh
+    closure each time. Chains carrying per-image arrays are not cached
+    here (their routing inspects concrete values; ``sharded_chain_fn``
+    and ``batch._apply_all_fn`` cache those paths at their own level).
     """
     chain = list(chain)
+    cache_key = None
+    if jit:
+        try:
+            cache_key = (
+                tuple(
+                    (sp.name, tuple(sorted(sp.params.items())))
+                    for sp in chain
+                ),
+                strict_parity,
+                warp_method,
+            )
+            hash(cache_key)
+        except TypeError:
+            cache_key = None  # unhashable (array params): uncached path
+        if cache_key is not None:
+            hit = _BUILT_CHAIN_CACHE.get(cache_key)
+            if hit is not None:
+                return hit
 
     def fn(images: jnp.ndarray, key: jax.Array | None = None) -> jnp.ndarray:
         x = images
@@ -287,4 +312,15 @@ def build_chain_fn(
                 i += 1
         return x
 
-    return jax.jit(fn) if jit else fn
+    if not jit:
+        return fn
+    jitted = jax.jit(fn)
+    if cache_key is not None:
+        _BUILT_CHAIN_CACHE[cache_key] = jitted
+        while len(_BUILT_CHAIN_CACHE) > 64:  # bound executables kept alive
+            _BUILT_CHAIN_CACHE.pop(next(iter(_BUILT_CHAIN_CACHE)))
+    return jitted
+
+
+#: value-keyed cache of jitted all-scalar chains (insertion-ordered FIFO)
+_BUILT_CHAIN_CACHE: dict = {}
