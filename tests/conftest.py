@@ -27,6 +27,10 @@ def pytest_configure(config):
     env[_REEXEC_FLAG] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
+    # drop the axon plugin trigger entirely: sitecustomize only registers
+    # the TPU plugin when PALLAS_AXON_POOL_IPS is set, and a stalled
+    # tunnel otherwise hangs plugin init even for CPU-backend test runs
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
