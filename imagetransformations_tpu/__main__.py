@@ -234,6 +234,9 @@ def cmd_corrupt(argv):
     bad = [n for n in names if n not in known]
     if bad:
         raise SystemExit(f"unknown corruptions {bad}; known: {sorted(known)}")
+    bad_sev = [s for s in sevs if not 1 <= s <= 5]
+    if bad_sev:
+        raise SystemExit(f"severities must be in 1..5, got {bad_sev}")
     imgs, paths = load_folder_images(in_dir, size=_parse_size(argv))
     if len(paths) == 0:
         raise SystemExit(f"no images found under {in_dir}")

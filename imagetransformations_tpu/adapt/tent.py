@@ -71,10 +71,17 @@ class TentState:
 jax.tree_util.register_pytree_node(TentState, TentState.tree_flatten, TentState.tree_unflatten)
 
 
+def _tent_tx(lr: float):
+    """THE tent optimizer recipe (TENT_Pipelines.py:123-143: clip 1.0 +
+    Adam). Single constructor shared by init_tent, the scanned evaluator,
+    and the ragged-tail step so the three paths cannot drift."""
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+
+
 def init_tent(params, lr: float = 2.5e-4):
     """lr defaults per TENT_Pipelines.py:354 (1e-3 for the reset protocol)."""
     bn, frozen = partition_bn_params(params)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    tx = _tent_tx(lr)
     return TentState(bn, frozen, tx.init(bn)), tx
 
 
@@ -118,7 +125,7 @@ def _tent_step_and_infer(model_apply, lr: float):
     hit = _TENT_STEP_CACHE.get((model_apply,), (float(lr),))
     if hit is not None:
         return hit
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    tx = _tent_tx(lr)
     step = make_tent_step(model_apply, tx)
 
     @jax.jit
@@ -141,7 +148,7 @@ def _tent_eval_scan_fn(
     hit = _TENT_EVAL_CACHE.get((model_apply,), extra)
     if hit is not None:
         return hit
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    tx = _tent_tx(lr)
 
     @jax.jit
     def run(state0: TentState, xs, ys, raws):

@@ -81,7 +81,12 @@ def predict_with_tta(
     stack: Callable = gentle_stack,
 ) -> jnp.ndarray:
     """Mean softmax over the stack's views -> [B, C] probs (one jitted
-    dispatch: view generation, every forward, and the average fuse)."""
+    dispatch: view generation, every forward, and the average fuse).
+
+    ``stack`` is jit-traced and the executable cached by the callable's
+    IDENTITY: pass a stable function object (a module-level function, not
+    a fresh lambda/partial per call) or every call re-compiles, and keep
+    the stack traceable (no host control flow on pixel values)."""
     fn = _TTA_CACHE.get((model_fn, stack))
     if fn is None:
 

@@ -212,7 +212,9 @@ def _sharded_eval_fwd(model_fn, to_model_space, mesh, axis: str):
     (model, preprocess, mesh, axis) — the sweep's mesh path reuses it for
     every (corruption, severity) cell instead of recompiling the forward
     inside each cell's closure."""
-    fwd = _SHARDED_FWD_CACHE.get((model_fn, to_model_space, mesh), (axis, "nogen"))
+    # the mesh keys by VALUE (Mesh is hashable): callers constructing a
+    # fresh-but-equal mesh per call (e.g. data_mesh() inline) still hit
+    fwd = _SHARDED_FWD_CACHE.get((model_fn, to_model_space), (axis, mesh, "nogen"))
     if fwd is None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -224,7 +226,7 @@ def _sharded_eval_fwd(model_fn, to_model_space, mesh, axis: str):
             return jax.lax.with_sharding_constraint(logits, sharding)
 
         _SHARDED_FWD_CACHE.put(
-            (model_fn, to_model_space, mesh), (axis, "nogen"), fwd
+            (model_fn, to_model_space), (axis, mesh, "nogen"), fwd
         )
     return fwd
 
@@ -328,11 +330,16 @@ def evaluate_sharded(
     batch_size = max(int(batch_size), ndev)
     sharding = NamedSharding(mesh, P(axis))
 
-    # cache the jitted sharded forward per (model, preprocess, corrupt_fn,
-    # mesh/axis): a fresh closure every call would recompile per invocation
-    fwd = _SHARDED_FWD_CACHE.get(
-        (model_fn, to_model_space, corrupt_fn, mesh), (axis,)
-    )
+    # cache the jitted sharded forward per (model, preprocess, mesh/axis)
+    # when there is no corrupt_fn; a corrupt_fn is usually a per-call
+    # lambda, which can never hit an identity-keyed cache — caching those
+    # would only pin the lambda's closure (and evict useful entries), so
+    # the generation-fused variant builds fresh. For cached sweeps either
+    # corrupt beforehand (corrupt_fn=None) or use corruption_sweep, which
+    # splits generation from its shared cached forward.
+    fwd = None
+    if corrupt_fn is None:
+        fwd = _SHARDED_FWD_CACHE.get((model_fn, to_model_space), (axis, mesh))
     if fwd is None:
 
         @jax.jit
@@ -342,9 +349,8 @@ def evaluate_sharded(
             logits = model_fn(to_model_space(xb))
             return jax.lax.with_sharding_constraint(logits, sharding)
 
-        _SHARDED_FWD_CACHE.put(
-            (model_fn, to_model_space, corrupt_fn, mesh), (axis,), fwd
-        )
+        if corrupt_fn is None:
+            _SHARDED_FWD_CACHE.put((model_fn, to_model_space), (axis, mesh), fwd)
 
     if key is None:
         key = jax.random.key(0)

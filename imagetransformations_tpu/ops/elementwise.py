@@ -84,9 +84,10 @@ def enhance_contrast(img: jnp.ndarray, factor) -> jnp.ndarray:
     The mean is a per-image reduction — still a single fused pass on TPU.
     """
     x, single = as_batch(img)
-    # int32 accumulation: exact while sum(L) < 2^31, i.e. images up to
-    # ~2900x2900 (jax x64 is disabled, so int64 truncated to int32 anyway —
-    # this is the same arithmetic, without the dtype warning)
+    # int32 accumulation: the mean below computes 2*total, so exactness
+    # needs sum(L) < 2^30 — images up to ~2050x2050 at worst-case
+    # brightness. (jax x64 is disabled, so int64 truncated to int32
+    # anyway — this is the same arithmetic, without the dtype warning.)
     gray = grayscale(x, keep_rgb=False).astype(jnp.int32)
     # PIL: mean = int(Stat(L).mean + 0.5); integer math keeps the .5 boundary
     # exact (f32 accumulation can flip it by 1)

@@ -218,7 +218,7 @@ def build_chain_fn(
         except TypeError:
             cache_key = None  # unhashable (array params): uncached path
         if cache_key is not None:
-            hit = _BUILT_CHAIN_CACHE.get(cache_key)
+            hit = _BUILT_CHAIN_CACHE.get((), (cache_key,))
             if hit is not None:
                 return hit
 
@@ -316,11 +316,12 @@ def build_chain_fn(
         return fn
     jitted = jax.jit(fn)
     if cache_key is not None:
-        _BUILT_CHAIN_CACHE[cache_key] = jitted
-        while len(_BUILT_CHAIN_CACHE) > 64:  # bound executables kept alive
-            _BUILT_CHAIN_CACHE.pop(next(iter(_BUILT_CHAIN_CACHE)))
+        _BUILT_CHAIN_CACHE.put((), (cache_key,), jitted)
     return jitted
 
 
-#: value-keyed cache of jitted all-scalar chains (insertion-ordered FIFO)
-_BUILT_CHAIN_CACHE: dict = {}
+from imagetransformations_tpu.core.jitutil import IdLRUCache
+
+#: value-keyed LRU of jitted all-scalar chains (a hot chain stays cached
+#: however many cold one-off chains come and go)
+_BUILT_CHAIN_CACHE = IdLRUCache(maxsize=64)

@@ -188,11 +188,12 @@ def sharded_chain_fn(
     )
     extra = (
         axis,
+        mesh,  # Mesh hashes by value: fresh-but-equal meshes still hit
         chain_key,
         tuple(lifted),
         tuple(sorted(build_kwargs.items())),
     )
-    jitted = _CHAIN_FN_CACHE.get((mesh,), extra)
+    jitted = _CHAIN_FN_CACHE.get((), extra)
     if jitted is None:
         spec = P(axis)
 
@@ -213,7 +214,7 @@ def sharded_chain_fn(
             out_specs=spec,
             check_vma=False,
         ))
-        _CHAIN_FN_CACHE.put((mesh,), extra, jitted)
+        _CHAIN_FN_CACHE.put((), extra, jitted)
     if not arrays:
         return jitted
     arrays_t = tuple(arrays)

@@ -186,7 +186,9 @@ def test_sharded_chain_fn_per_image_angles(rng):
     from imagetransformations_tpu.pipeline.sharding import _CHAIN_FN_CACHE
 
     n_cached = len(_CHAIN_FN_CACHE._data)
-    angles2 = np.asarray(rng.uniform(-30.0, 30.0, size=8).astype(np.float32))
+    # negated angles: SAME max-abs (deterministically the same 5-degree
+    # routing budget as the first call), different values
+    angles2 = -angles
     chain2 = [
         OpSpec("blur", {"radius": 1.5}),
         OpSpec("rotation", {"angle": angles2}),
