@@ -610,3 +610,43 @@ def test_id_lru_cache_semantics():
     assert c.get((f,), (1,)) == "F" and c.get((h,), (1,)) == "H"
     # distinct live objects always miss each other's entries
     assert c.get((lambda: 4,), (1,)) is None
+
+
+def test_chain_strict_parity_fuzz(rng):
+    """Randomized chains in strict-parity mode must bit-match the same ops
+    applied sequentially — guards the dispatcher's routing (mega-kernel
+    matching, affine-run collection, per-op fallbacks) across op orders
+    it was never hand-tested on."""
+    from imagetransformations_tpu import ops
+    from imagetransformations_tpu.pipeline.chain import OpSpec, build_chain_fn
+
+    pool = {
+        "brightness": ("factor", [0.05, -0.1], ops.apply_brightness),
+        "contrast": ("alpha", [0.8, 1.2], ops.apply_contrast),
+        "blur": ("radius", [0.0, 1.0, 2.5], ops.apply_blur),
+        "rotation": ("angle", [0.0, 15.0, -30.0], ops.apply_rotation),
+        "grayscale": (None, [None], lambda x: ops.grayscale(x)),
+        "invert": (None, [None], lambda x: ops.invert(x)),
+        "sharpness": ("factor", [1.5], ops.sharpen),
+        "zoom": ("factor", [1.2], ops.random_zoom),
+        "translation": ("tx", [6.0], lambda x, v: ops.apply_translation(x, v, v)),
+    }
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 40, 48, 3), dtype=np.uint8))
+    names = list(pool)
+    for trial in range(6):
+        k = np.random.default_rng(100 + trial)
+        chain, refs = [], []
+        for _ in range(int(k.integers(2, 5))):
+            name = names[int(k.integers(len(names)))]
+            pk, vals, fn = pool[name]
+            v = vals[int(k.integers(len(vals)))]
+            chain.append(OpSpec(name, {} if pk is None else {pk: v}))
+            refs.append((fn, v if pk is not None else None))
+        out = np.asarray(build_chain_fn(chain, strict_parity=True)(imgs))
+        ref = imgs
+        for fn, v in refs:
+            ref = fn(ref) if v is None else fn(ref, v)
+        np.testing.assert_array_equal(
+            out, np.asarray(ref),
+            err_msg=f"chain {[(s.name, s.params) for s in chain]}",
+        )
