@@ -208,7 +208,7 @@ def evaluate_with_tent(
     (``_tent_eval_scan_fn``); a ragged tail (dataset not divisible by the
     batch size) continues per-batch from the scanned state.
     """
-    state0, tx = init_tent(params, lr)
+    state0, _ = init_tent(params, lr)
     has_raw = bool(batches) and isinstance(batches[0], tuple)
     if any(isinstance(b, tuple) != has_raw for b in batches):
         raise ValueError(
