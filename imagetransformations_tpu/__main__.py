@@ -218,9 +218,15 @@ def cmd_corrupt(argv):
         argv, 2,
         "corrupt IN_DIR OUT_DIR [--corruptions=a,b] [--severities=1,3,5] [--size=WxH]",
     )[:2]
+    #: the full 19-generator CIFAR-10-C store surface: the canonical 15
+    #: plus the reference store's four extras (NOT rotation/translation,
+    #: which are sweep-only extras)
+    store_19 = list(CORRUPTIONS) + [
+        "speckle_noise", "gaussian_blur", "spatter", "saturate",
+    ]
     names = next(
         (a.split("=", 1)[1].split(",") for a in argv if a.startswith("--corruptions=")),
-        list(CORRUPTIONS),
+        store_19,
     )
     sevs = next(
         (
@@ -242,14 +248,23 @@ def cmd_corrupt(argv):
         raise SystemExit(f"no images found under {in_dir}")
     x = jnp.asarray(imgs)
     os.makedirs(out_dir, exist_ok=True)
+    # unique per-input stems: walk is recursive, so two inputs may share a
+    # basename (a/img.png, b/img.png) — derive stems from the in_dir-relative
+    # path (separators -> '_') and suffix any remaining duplicates
+    stems, seen = [], {}
+    for p in paths:
+        rel = os.path.relpath(p, in_dir)
+        stem = os.path.splitext(rel)[0].replace(os.sep, "_")
+        n = seen.get(stem, 0)
+        seen[stem] = n + 1
+        stems.append(stem if n == 0 else f"{stem}_{n}")
     key = jax.random.key(0)
     count = 0
     for name in names:
         for sev in sevs:
             key, k = jax.random.split(key)
             out = np.asarray(corrupt(x, name, sev, k))
-            for i, p in enumerate(paths):
-                stem = os.path.splitext(os.path.basename(p))[0]
+            for i, stem in enumerate(stems):
                 Image.fromarray(out[i]).save(
                     os.path.join(out_dir, f"{stem}_{name}_severity{sev}.png")
                 )

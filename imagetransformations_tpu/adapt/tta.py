@@ -79,25 +79,30 @@ def predict_with_tta(
     images: jnp.ndarray,
     key: jax.Array,
     stack: Callable = gentle_stack,
+    jit: bool = True,
 ) -> jnp.ndarray:
     """Mean softmax over the stack's views -> [B, C] probs (one jitted
     dispatch: view generation, every forward, and the average fuse).
 
-    ``stack`` is jit-traced and the executable cached by the callable's
-    IDENTITY: pass a stable function object (a module-level function, not
-    a fresh lambda/partial per call) or every call re-compiles, and keep
-    the stack traceable (no host control flow on pixel values)."""
+    With ``jit=True`` (default) ``stack`` is jit-traced and the executable
+    cached by the callable's IDENTITY: pass a stable function object (a
+    module-level function, not a fresh lambda/partial per call) or every
+    call re-compiles, and keep the stack traceable (no host control flow
+    on pixel values). Pass ``jit=False`` for stacks that need eager
+    semantics (host branching, numpy randomness, per-call closures)."""
+
+    def run(x, k):
+        views = stack(x, k)
+        probs = jnp.stack(
+            [jax.nn.softmax(model_fn(v), axis=-1) for v in views]
+        )
+        return jnp.mean(probs, axis=0)
+
+    if not jit:
+        return run(images, key)
     fn = _TTA_CACHE.get((model_fn, stack))
     if fn is None:
-
-        @jax.jit
-        def fn(x, k):
-            views = stack(x, k)
-            probs = jnp.stack(
-                [jax.nn.softmax(model_fn(v), axis=-1) for v in views]
-            )
-            return jnp.mean(probs, axis=0)
-
+        fn = jax.jit(run)
         _TTA_CACHE.put((model_fn, stack), (), fn)
     return fn(images, key)
 

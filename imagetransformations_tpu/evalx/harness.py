@@ -202,8 +202,12 @@ from imagetransformations_tpu.core.jitutil import IdLRUCache
 #: bounded LRU so cached params/executables don't accumulate forever
 _FWD_CACHE = IdLRUCache(maxsize=16)
 
-#: jitted sharded forwards per (model, preprocess[, corrupt_fn], mesh, axis)
+#: jitted sharded forwards per (model, preprocess, mesh, axis)
 _SHARDED_FWD_CACHE = IdLRUCache(maxsize=16)
+
+#: generation-fused variants (corrupt_fn in the key) — separate small pool
+#: so per-call corrupt lambdas can't evict the hot shared forwards
+_SHARDED_GEN_FWD_CACHE = IdLRUCache(maxsize=8)
 
 
 def _sharded_eval_fwd(model_fn, to_model_space, mesh, axis: str):
@@ -330,16 +334,17 @@ def evaluate_sharded(
     batch_size = max(int(batch_size), ndev)
     sharding = NamedSharding(mesh, P(axis))
 
-    # cache the jitted sharded forward per (model, preprocess, mesh/axis)
-    # when there is no corrupt_fn; a corrupt_fn is usually a per-call
-    # lambda, which can never hit an identity-keyed cache — caching those
-    # would only pin the lambda's closure (and evict useful entries), so
-    # the generation-fused variant builds fresh. For cached sweeps either
-    # corrupt beforehand (corrupt_fn=None) or use corruption_sweep, which
-    # splits generation from its shared cached forward.
-    fwd = None
+    # cache the jitted sharded forward. Generation-free entries live in
+    # the shared _SHARDED_FWD_CACHE; corrupt_fn variants go to their own
+    # SMALL cache so per-call lambdas (which can never hit an
+    # identity-keyed cache) churn a bounded side pool instead of evicting
+    # the hot shared forwards — while a STABLE corrupt_fn callable still
+    # compiles once across a whole sweep.
     if corrupt_fn is None:
-        fwd = _SHARDED_FWD_CACHE.get((model_fn, to_model_space), (axis, mesh))
+        cache, key_objs = _SHARDED_FWD_CACHE, (model_fn, to_model_space)
+    else:
+        cache, key_objs = _SHARDED_GEN_FWD_CACHE, (model_fn, to_model_space, corrupt_fn)
+    fwd = cache.get(key_objs, (axis, mesh))
     if fwd is None:
 
         @jax.jit
@@ -349,8 +354,7 @@ def evaluate_sharded(
             logits = model_fn(to_model_space(xb))
             return jax.lax.with_sharding_constraint(logits, sharding)
 
-        if corrupt_fn is None:
-            _SHARDED_FWD_CACHE.put((model_fn, to_model_space), (axis, mesh), fwd)
+        cache.put(key_objs, (axis, mesh), fwd)
 
     if key is None:
         key = jax.random.key(0)
