@@ -77,6 +77,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Relayout micro-opt flags, default False until validated on the real chip
+# (tools/probe_unaligned_luma.py — Mosaic acceptance can't be checked in
+# interpret mode; parity of both settings IS interpret-tested).
+# _UNALIGNED_LUMA_U8: unaligned shapes (224x224, 32x32) sublane-pad and keep
+# the gray1 input transpose/split in u8 (1/4 relayout bytes) instead of the
+# cast-to-i32-first route. See _luma_blur_front docstring.
+# _U8_OUTPUT_STORE: cast i32 -> u8 BEFORE the gray1 output transpose so the
+# [wc, h] relayout moves u8 bytes.
+_UNALIGNED_LUMA_U8 = False
+_U8_OUTPUT_STORE = False
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -110,6 +122,16 @@ def _roll_left(x: jnp.ndarray, m: int, axis: int = 1) -> jnp.ndarray:
     size = x.shape[axis]
     s = (size - m) % size
     return x if s == 0 else pltpu.roll(x, s, axis=axis)
+
+
+def _store_lane_interleaved(o_ref, vi: jnp.ndarray) -> None:
+    """Final gray1 store: transpose the [wc, h] i32 channel-replicated slab
+    back to row-major and store as u8. With _U8_OUTPUT_STORE the cast
+    happens BEFORE the transpose (u8 relayout = 1/4 the bytes)."""
+    if _U8_OUTPUT_STORE:
+        o_ref[0] = jnp.swapaxes(vi.astype(jnp.uint8), 0, 1)
+    else:
+        o_ref[0] = jnp.swapaxes(vi, 0, 1).astype(jnp.uint8)
 
 
 def _grayscale_rows(xi: jnp.ndarray, cv: jnp.ndarray, cs: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
@@ -319,26 +341,39 @@ def _luma_blur_front(x_ref, h: int, wc: int, c: int, lsx: int,
     [h, lsx] (the 0-fill margin lanes blur to 0 = fill). Returns the
     blurred luma [h, lsx] ready for shear pass 1.
 
-    The uint8 transpose + reshape-split needs int8-tileable layouts: the
-    lane dim must be a 128-multiple or Mosaic rejects the shape cast
+    The uint8 reshape-split needs int8-tileable layouts: the lane dim must
+    be a 128-multiple or Mosaic rejects the shape cast
     ("infer-vector-layout: unsupported shape cast" on 672x224 i8, found
-    at 224x224). Unaligned shapes cast to int32 FIRST and transpose/split
-    in i32 (f32-class relayouts handle any lane count — the pre-luma-first
-    kernels ran 224 this way).
+    at 224x224 — the TRANSPOSE itself accepts unaligned lanes; only the
+    split does not). Unaligned shapes therefore sublane-pad the u8 rows to
+    a 128-multiple BEFORE the transpose, so the transposed slab's lanes
+    are aligned for the split; the pad lanes (zeros) ride along and are
+    sliced off after the post-blur transpose. This keeps the big relayout
+    in u8 (1/4 the bytes of the i32-first route). Gated by
+    `_UNALIGNED_LUMA_U8` until Mosaic acceptance is proven on-chip
+    (tools/probe_unaligned_luma.py); False = the i32-first route.
     """
     w = wc // c
-    if h % 128 == 0 and wc % 128 == 0:
-        xt = jnp.swapaxes(x_ref[0], 0, 1)  # [wc, h] u8 (1/4-cost relayout)
-        xr = xt.reshape(w, c, h)
+    aligned = h % 128 == 0 and wc % 128 == 0
+    if aligned or _UNALIGNED_LUMA_U8:
+        hl = h if aligned else _round_up(h, 128)
+        xu = x_ref[0]
+        if hl != h:
+            xu = jnp.concatenate(
+                [xu, jnp.zeros((hl - h, wc), jnp.uint8)], axis=0
+            )
+        xt = jnp.swapaxes(xu, 0, 1)  # [wc, hl] u8 (1/4-cost relayout)
+        xr = xt.reshape(w, c, hl)
         r_i = xr[:, 0, :].astype(jnp.int32)
         g_i = xr[:, 1, :].astype(jnp.int32)
         b_i = xr[:, 2, :].astype(jnp.int32)
     else:
+        hl = h
         xi = jnp.swapaxes(x_ref[0].astype(jnp.int32), 0, 1)  # [wc, h] i32
         xr = xi.reshape(w, c, h)
         r_i, g_i, b_i = xr[:, 0, :], xr[:, 1, :], xr[:, 2, :]
     lum_i = (g_i * 38470 + r_i * 19595) + b_i * 7471
-    lum = lum_i.astype(jnp.float32) * jnp.float32(1.0 / 65536.0)  # [w, h]
+    lum = lum_i.astype(jnp.float32) * jnp.float32(1.0 / 65536.0)  # [w, hl]
 
     p = (len(taps) - 1) // 2
 
@@ -358,11 +393,13 @@ def _luma_blur_front(x_ref, h: int, wc: int, c: int, lsx: int,
             + [lum[w - 2 - i : w - 1 - i, :] for i in range(p)],
             axis=0,
         )
-        bx = tap_sum(xpadh, w)  # [w, h]
+        bx = tap_sum(xpadh, w)  # [w, hl]
     else:
         bx = lum
-    bxw = jnp.concatenate([bx, jnp.full((lsx - w, h), fillf)], axis=0)
-    t1 = jnp.swapaxes(bxw, 0, 1)  # [h, lsx]
+    bxw = jnp.concatenate([bx, jnp.full((lsx - w, hl), fillf)], axis=0)
+    t1 = jnp.swapaxes(bxw, 0, 1)  # [hl, lsx]
+    if hl != h:
+        t1 = t1[:h, :]  # drop the alignment-pad lanes (sublane slice, free)
     if not p:
         return t1
     xpadv = jnp.concatenate(
@@ -411,7 +448,7 @@ def _mega_gray1_kernel(
     v = (s3[:, :w] + 0.5).astype(jnp.int32)
     vt = jnp.swapaxes(v, 0, 1)  # [w, h]
     vi = jnp.stack([vt, vt, vt], axis=1).reshape(wc, h)
-    o_ref[0] = jnp.swapaxes(vi, 0, 1).astype(jnp.uint8)
+    _store_lane_interleaved(o_ref, vi)
 
 
 def _route_rows(v, amt, unit, nbits):
@@ -482,7 +519,7 @@ def _mega_traced_gray1_kernel(
     v = (s3[:, :w] + 0.5).astype(jnp.int32)
     vt = jnp.swapaxes(v, 0, 1)
     vi = jnp.stack([vt, vt, vt], axis=1).reshape(wc, h)
-    o_ref[0] = jnp.swapaxes(vi, 0, 1).astype(jnp.uint8)
+    _store_lane_interleaved(o_ref, vi)
 
 
 def _mega_traced_kernel(

@@ -158,6 +158,39 @@ def test_chain_multi_affine_run_still_fuses(rng):
     assert out.shape == imgs.shape and out.dtype == np.uint8
 
 
+def test_unaligned_u8_relayout_flags_parity(rng):
+    """The gated relayout micro-opts (_UNALIGNED_LUMA_U8 sublane-padded u8
+    front, _U8_OUTPUT_STORE cast-before-transpose store) are bit-identical
+    to the default routes — only Mosaic acceptance needs the real chip
+    (tools/probe_unaligned_luma.py), not semantics."""
+    from imagetransformations_tpu.ops.pallas import megakernel as mk
+
+    imgs = rng.integers(0, 256, (2, 56, 40, 3), dtype=np.uint8)  # unaligned
+    base = np.asarray(
+        fused_blur_rotate_image(
+            jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True
+        )
+    )
+    old = mk._UNALIGNED_LUMA_U8, mk._U8_OUTPUT_STORE
+    try:
+        # flip both flags relative to the module defaults — parity must
+        # hold whichever way the defaults land after hardware validation
+        mk._UNALIGNED_LUMA_U8 = not old[0]
+        mk._U8_OUTPUT_STORE = not old[1]
+        # the jit cache keys on static args only — clear so the flags
+        # re-trace the kernel bodies
+        fused_blur_rotate_image.clear_cache()
+        out = np.asarray(
+            fused_blur_rotate_image(
+                jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True
+            )
+        )
+    finally:
+        mk._UNALIGNED_LUMA_U8, mk._U8_OUTPUT_STORE = old
+        fused_blur_rotate_image.clear_cache()
+    np.testing.assert_array_equal(out, base)
+
+
 def test_traced_angle_megakernel_matches_static(rng):
     """fused_blur_rotate_batched (per-image log-routed shifts) must match
     the static-angle kernel per image (device f32 shift computation can

@@ -1,0 +1,111 @@
+"""Real-TPU probe for the unaligned-shape (224x224) megakernel luma front.
+
+Run on the real chip (NOT under the CPU conftest):
+
+    timeout 900 python tools/probe_unaligned_luma.py
+
+Validates, in order:
+1. Mosaic ACCEPTS the sublane-padded u8 transpose + reshape-split at
+   224x224 (megakernel._UNALIGNED_LUMA_U8 = True path) for both the
+   static-angle and traced-angle gray1 kernels — the shape cast was the
+   op Mosaic rejected pre-padding ("unsupported shape cast" on 672x224 i8).
+2. On-chip parity vs oracle/fast_warp.fused_stream_chain (expect 0 LSB:
+   the VPU does not FMA-contract).
+3. Throughput at 224x224 and 512x512 vs the CLAUDE.md round-3 anchors
+   (8.77 / 14.04 Gpix/s) — the padded u8 front and the u8-before-transpose
+   output store should only remove relayout bytes.
+
+If (1) fails with a Mosaic lowering error, set
+ops/pallas/megakernel._UNALIGNED_LUMA_U8 = False (one-line rollback).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from imagetransformations_tpu.ops.pallas import megakernel as mk
+from imagetransformations_tpu.oracle import fast_warp as ofw
+from imagetransformations_tpu.utils.profiling import op_throughput
+
+
+def parity(shape, radius, angle, traced):
+    n, h, w = shape
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    if traced:
+        angles = np.linspace(-angle, angle, n).astype(np.float32)
+        out = np.asarray(
+            mk.fused_blur_rotate_batched(
+                jnp.asarray(imgs), radius, jnp.asarray(angles),
+                grayscale_out=True, stream=True,
+            )
+        )
+        ref = np.concatenate(
+            [
+                ofw.fused_stream_chain(
+                    imgs[i : i + 1], radius, float(a), grayscale_out=True
+                )
+                for i, a in enumerate(angles)
+            ]
+        )
+    else:
+        out = np.asarray(
+            mk.fused_blur_rotate_image(
+                jnp.asarray(imgs), radius, angle, grayscale_out=True, stream=True
+            )
+        )
+        ref = ofw.fused_stream_chain(imgs, radius, angle, grayscale_out=True)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    return int(err.max()), float((err > 0).mean())
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"backend: {jax.default_backend()} device: {dev}", flush=True)
+    assert jax.default_backend() == "tpu", "probe must run on the real chip"
+    # enable the candidate relayout opts (defaults stay False until this
+    # probe proves Mosaic accepts them; flip the module defaults after)
+    mk._UNALIGNED_LUMA_U8 = True
+    mk._U8_OUTPUT_STORE = True
+    results = {"u8_unaligned_front": True, "u8_output_store": True}
+
+    for name, shape, traced in [
+        ("static32", (16, 32, 32), False),   # CIFAR: wc=96 < one lane tile
+        ("static224", (8, 224, 224), False),
+        ("traced224", (8, 224, 224), True),
+        ("static512", (4, 512, 512), False),
+    ]:
+        t0 = time.time()
+        mx, frac = parity(shape, 2.0, 15.0, traced)
+        results[name] = {
+            "max_lsb": mx,
+            "flip_frac": round(frac, 6),
+            "wall_s": round(time.time() - t0, 1),
+            "ok": mx == 0,
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    # throughput (scan-K inside one jit, RPC floor subtracted)
+    for name, (h, w, bs) in [("gpix224", (224, 224, 96)), ("gpix512", (512, 512, 32))]:
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (bs, h, w, 3), dtype=np.uint8)
+        )
+
+        def fn(v):
+            return mk.fused_blur_rotate_image(
+                v, 2.0, 15.0, grayscale_out=True, stream=True
+            )
+
+        stats = op_throughput(fn, x)
+        results[name] = round(stats["gpix_per_s"], 3)
+        print(f"{name}: {results[name]} Gpix/s", flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
