@@ -63,46 +63,64 @@ def parity(shape, radius, angle, traced):
     return int(err.max()), float((err > 0).mean())
 
 
+def set_flags(on: bool) -> None:
+    mk._UNALIGNED_LUMA_U8 = on
+    mk._U8_OUTPUT_STORE = on
+    # the flags are read at kernel-trace time; the jit caches key on static
+    # args only, so stale executables must be dropped between settings
+    mk.fused_blur_rotate_image.clear_cache()
+    mk._fused_blur_rotate_batched_jit.clear_cache()
+
+
 def main():
     dev = jax.devices()[0]
     print(f"backend: {jax.default_backend()} device: {dev}", flush=True)
     assert jax.default_backend() == "tpu", "probe must run on the real chip"
-    # enable the candidate relayout opts (defaults stay False until this
-    # probe proves Mosaic accepts them; flip the module defaults after)
-    mk._UNALIGNED_LUMA_U8 = True
-    mk._U8_OUTPUT_STORE = True
-    results = {"u8_unaligned_front": True, "u8_output_store": True}
+    results = {}
 
-    for name, shape, traced in [
-        ("static32", (16, 32, 32), False),   # CIFAR: wc=96 < one lane tile
-        ("static224", (8, 224, 224), False),
-        ("traced224", (8, 224, 224), True),
-        ("static512", (4, 512, 512), False),
-    ]:
-        t0 = time.time()
-        mx, frac = parity(shape, 2.0, 15.0, traced)
-        results[name] = {
-            "max_lsb": mx,
-            "flip_frac": round(frac, 6),
-            "wall_s": round(time.time() - t0, 1),
-            "ok": mx == 0,
-        }
-        print(f"{name}: {results[name]}", flush=True)
+    for flag in (False, True):
+        set_flags(flag)
+        tag = "u8opt" if flag else "base"
+        # parity / Mosaic-acceptance gates (the True setting is the probe's
+        # whole point: Mosaic rejections surface here as compile errors)
+        for name, shape, traced in [
+            ("static32", (16, 32, 32), False),   # CIFAR: wc=96 < a lane tile
+            ("static224", (8, 224, 224), False),
+            ("traced224", (8, 224, 224), True),
+            ("static512", (4, 512, 512), False),
+        ]:
+            t0 = time.time()
+            mx, frac = parity(shape, 2.0, 15.0, traced)
+            results[f"{tag}.{name}"] = {
+                "max_lsb": mx,
+                "flip_frac": round(frac, 6),
+                "wall_s": round(time.time() - t0, 1),
+                "ok": mx == 0,
+            }
+            print(f"{tag}.{name}: {results[f'{tag}.{name}']}", flush=True)
 
-    # throughput (scan-K inside one jit, RPC floor subtracted)
-    for name, (h, w, bs) in [("gpix224", (224, 224, 96)), ("gpix512", (512, 512, 32))]:
-        x = jnp.asarray(
-            np.random.default_rng(0).integers(0, 256, (bs, h, w, 3), dtype=np.uint8)
-        )
-
-        def fn(v):
-            return mk.fused_blur_rotate_image(
-                v, 2.0, 15.0, grayscale_out=True, stream=True
+        # throughput (scan-K inside one jit, RPC floor subtracted);
+        # tunnel variance is +-10% — only a consistent win justifies the flip
+        for name, (h, w, bs) in [
+            ("gpix224", (224, 224, 96)),
+            ("gpix512", (512, 512, 32)),
+        ]:
+            x = jnp.asarray(
+                np.random.default_rng(0).integers(
+                    0, 256, (bs, h, w, 3), dtype=np.uint8
+                )
             )
 
-        stats = op_throughput(fn, x)
-        results[name] = round(stats["gpix_per_s"], 3)
-        print(f"{name}: {results[name]} Gpix/s", flush=True)
+            def fn(v):
+                return mk.fused_blur_rotate_image(
+                    v, 2.0, 15.0, grayscale_out=True, stream=True
+                )
+
+            best = max(
+                op_throughput(fn, x)["gpix_per_s"] for _ in range(3)
+            )  # best-of-3 rejects tunnel stalls
+            results[f"{tag}.{name}"] = round(best, 3)
+            print(f"{tag}.{name}: {results[f'{tag}.{name}']} Gpix/s", flush=True)
 
     print(json.dumps(results))
 
