@@ -220,6 +220,41 @@ def test_traced_angle_megakernel_matches_static(rng):
             assert err.max() <= 1, (stream, a, err.max())
 
 
+def test_traced_megakernel_budget_edges(rng):
+    """The static routing budget's documented edge behavior: concrete
+    angles beyond max_angle_deg raise ValueError; the exact budget angle
+    works; TRACER angles (uninspectable) are clamped to the budget instead
+    of emitting unmatched-select garbage (ADVICE r2 failure mode)."""
+    import jax
+
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_batched,
+    )
+
+    imgs = rng.integers(0, 256, (1, 48, 40, 3), dtype=np.uint8)
+    x = jnp.asarray(imgs)
+
+    with pytest.raises(ValueError, match="routing budget"):
+        fused_blur_rotate_batched(x, 1.0, jnp.asarray([30.0], jnp.float32))
+
+    # exactly at the budget: runs and matches the stream oracle
+    at = np.asarray(
+        fused_blur_rotate_batched(
+            x, 1.0, jnp.asarray([22.5], jnp.float32), stream=True
+        )
+    )
+    ref = ofw.fused_stream_chain(imgs, 1.0, 22.5, grayscale_out=False)
+    assert np.abs(at.astype(int) - ref.astype(int)).max() <= 1
+
+    # tracer angles from an enclosing jit skip the host check and clamp
+    clamped = np.asarray(
+        jax.jit(
+            lambda v, a: fused_blur_rotate_batched(v, 1.0, a, stream=True)
+        )(x, jnp.asarray([30.0], jnp.float32))
+    )
+    assert np.abs(clamped.astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_chain_routes_traced_angles_to_fused_megakernel(rng):
     """blur -> per-image-angle rotation -> grayscale fuses into the traced
     megakernel (one HBM read + write) and matches the stream oracle."""
