@@ -36,7 +36,16 @@ ANGLE, RADIUS = 15.0, 1.5
 
 
 def gate(name, out, ref, max_lsb=1, max_flip=1.0):
-    out = np.asarray(out).astype(int)
+    # ``out`` may be a thunk: a compile/runtime failure in ONE kernel then
+    # reports as its own {"ok": false, "error": ...} line instead of taking
+    # down the remaining gates
+    try:
+        out = np.asarray(out() if callable(out) else out).astype(int)
+    except Exception as e:  # noqa: BLE001 - report per-kernel and continue
+        print(json.dumps({
+            "kernel": name, "error": repr(e)[:300], "ok": False,
+        }), flush=True)
+        return False
     ref = np.asarray(ref).astype(int)
     err = int(np.abs(out - ref).max())
     flip = float((out != ref).mean())
@@ -65,28 +74,28 @@ def main() -> None:
     ok = True
 
     blur_ref = np.stack([ost.gaussian_blur(im, RADIUS) for im in imgs])
-    ok &= gate("blur_separable", blur_separable(x, RADIUS), blur_ref)
+    ok &= gate("blur_separable", lambda: blur_separable(x, RADIUS), blur_ref)
 
     shifts = (0.3 * (np.arange(H) - H / 2)).astype(np.float32)
-    ok &= gate("shear_rows", shear_rows(x, jnp.asarray(shifts)),
+    ok &= gate("shear_rows", lambda: shear_rows(x, jnp.asarray(shifts)),
                ofw.shear_rows(imgs, shifts), max_lsb=0)
 
     rot_ref = ofw.rotate_3shear(imgs, ANGLE)
-    ok &= gate("rotate_3shear", rotate_3shear(x, ANGLE), rot_ref, max_lsb=0)
+    ok &= gate("rotate_3shear", lambda: rotate_3shear(x, ANGLE), rot_ref, max_lsb=0)
 
     angles = np.asarray([-12.0, 22.5], np.float32)
     batched_ref = np.concatenate(
         [ofw.rotate_3shear(imgs[i : i + 1], float(a)) for i, a in enumerate(angles)]
     )
     ok &= gate("rotate_3shear_batched",
-               rotate_3shear_batched(x, jnp.asarray(angles)), batched_ref,
+               lambda: rotate_3shear_batched(x, jnp.asarray(angles)), batched_ref,
                max_lsb=0)
 
     chain_in = np.stack([oe.grayscale_rgb(im) for im in ofw.rotate_3shear(blur_ref, ANGLE)])
     ok &= gate("blur_rotate_fused",
-               blur_rotate_fused(x, RADIUS, ANGLE, grayscale_out=True), chain_in)
+               lambda: blur_rotate_fused(x, RADIUS, ANGLE, grayscale_out=True), chain_in)
     ok &= gate("megakernel",
-               fused_blur_rotate_image(x, RADIUS, ANGLE, grayscale_out=True),
+               lambda: fused_blur_rotate_image(x, RADIUS, ANGLE, grayscale_out=True),
                chain_in)
 
     from PIL import Image
@@ -95,7 +104,7 @@ def main() -> None:
         for i, a in enumerate(angles)
     ])
     ok &= gate("pil_rotate_nearest_batched",
-               pil_rotate_nearest_batched(x, jnp.asarray(angles)), pil_ref,
+               lambda: pil_rotate_nearest_batched(x, jnp.asarray(angles)), pil_ref,
                max_lsb=255, max_flip=0.005)
 
     # ---- round-2 traced-parameter kernels (VERDICT r2 item 4) -------------
@@ -116,7 +125,7 @@ def main() -> None:
 
     # device f32 lerp vs numpy f64 oracle: 0.5-boundary pixels may flip 1 LSB
     ok &= gate("zoom_bilinear_batched",
-               zoom_bilinear_batched(x, jnp.asarray(fs)),
+               lambda: zoom_bilinear_batched(x, jnp.asarray(fs)),
                np.stack([zoom_ref(imgs[i], float(f)) for i, f in enumerate(fs)]),
                max_lsb=1, max_flip=0.01)
 
@@ -129,7 +138,7 @@ def main() -> None:
     # exactly 1 LSB at truncation boundaries (measured on v5e). The kernel
     # is bit-exact vs the f32 XLA op (tests/test_pallas_kernels.py).
     ok &= gate("shear_bicubic_batched",
-               shear_bicubic_batched(x, jnp.asarray(facs)), shear_ref,
+               lambda: shear_bicubic_batched(x, jnp.asarray(facs)), shear_ref,
                max_lsb=1, max_flip=0.025)
 
     pshifts = rng.uniform(-18, 18, (N, H)).astype(np.float32)
@@ -137,7 +146,7 @@ def main() -> None:
         [ofw.shear_rows(imgs[i : i + 1], pshifts[i], fill=255) for i in range(N)]
     )
     ok &= gate("shear_rows_logrouted",
-               shear_rows_logrouted(x, jnp.asarray(pshifts), fill=255,
+               lambda: shear_rows_logrouted(x, jnp.asarray(pshifts), fill=255,
                                     max_shift_px=20),
                log_ref, max_lsb=0)
 
@@ -155,7 +164,7 @@ def main() -> None:
     # device f32 shift computation can flip floor() at exact boundaries
     # (<=1 LSB through the continuous bilinear chain)
     ok &= gate("fused_blur_rotate_batched",
-               fused_blur_rotate_batched(x, RADIUS, jnp.asarray(tangles),
+               lambda: fused_blur_rotate_batched(x, RADIUS, jnp.asarray(tangles),
                                          grayscale_out=True, stream=True),
                tref, max_lsb=1, max_flip=0.01)
 
@@ -165,7 +174,7 @@ def main() -> None:
         [ow.apply_scale(imgs[i], float(v)) for i, v in enumerate(svals)]
     )
     ok &= gate("apply_scale_batched",
-               apply_scale_batched(x, jnp.asarray(svals), grid), scale_ref,
+               lambda: apply_scale_batched(x, jnp.asarray(svals), grid), scale_ref,
                max_lsb=0)
 
     sys.exit(0 if ok else 1)
