@@ -119,6 +119,58 @@ def test_apply_all_transformations_shapes(rng):
         assert out.dtype == jnp.uint8
 
 
+def test_apply_all_values_bind_to_outputs(rng):
+    """Differential value<->output binding for apply_all_transformations:
+    each type's returned (values, out) must equal applying that op per
+    image with exactly those values — the routing/flag-plumbing bug class
+    (a round-3 fix found shear silently ignoring the parity flag) cannot
+    recur silently under this gate."""
+    import jax
+
+    from imagetransformations_tpu import ops
+    from imagetransformations_tpu.oracle import fast_warp as ofw
+    from imagetransformations_tpu.oracle import warp as oww
+    from imagetransformations_tpu.pipeline.batch import apply_all_transformations
+
+    imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    x = jnp.asarray(imgs)
+    res = apply_all_transformations(x, jax.random.key(3))
+
+    def per_image(t, fn, max_lsb=0, max_flip=0.0):
+        vals, out = res[t]
+        vals = np.asarray(vals)
+        out = np.asarray(out).astype(int)
+        ref = np.concatenate([np.asarray(fn(i, float(vals[i]))) for i in range(4)])
+        err = np.abs(out - ref.astype(int))
+        assert err.max() <= max_lsb, (t, err.max())
+        assert (err > 0).mean() <= max_flip, (t, (err > 0).mean())
+
+    # elementwise / stencil value ops: identical op, per-image values
+    per_image("lighten_darken", lambda i, v: ops.apply_brightness(x[i : i + 1], v))
+    per_image("contrast", lambda i, v: ops.apply_contrast(x[i : i + 1], v))
+    per_image("blur", lambda i, v: ops.apply_blur(x[i : i + 1], v))
+    per_image("translation", lambda i, v: ops.apply_translation(x[i : i + 1], v))
+    # default fast rotation = 3-shear per unique angle, per-op quantization
+    per_image("rotation", lambda i, v: ofw.rotate_3shear(imgs[i : i + 1], v))
+    # PIL-parity scale: bit-exact int32 fixed-point LANCZOS oracle
+    per_image("scale", lambda i, v: oww.apply_scale(imgs[i], v)[None])
+    # PIL-parity shear: BICUBIC canvas crop; numpy f64 Horner vs device f32
+    # flips truncation-boundary pixels by 1 LSB (same budget as
+    # bench_kernels.shear_bicubic_batched)
+    per_image(
+        "shear",
+        lambda i, v: oww.apply_shear(imgs[i], v)[None, :, :32],
+        max_lsb=1,
+        max_flip=0.025,
+    )
+    # gaussian_noise is keyed randomness: assert determinism + effect
+    res2 = apply_all_transformations(x, jax.random.key(3))
+    np.testing.assert_array_equal(
+        np.asarray(res["gaussian_noise"][1]), np.asarray(res2["gaussian_noise"][1])
+    )
+    assert np.any(np.asarray(res["gaussian_noise"][1]) != imgs)
+
+
 def test_sharded_apply_8_devices(rng):
     from imagetransformations_tpu import ops
     from imagetransformations_tpu.pipeline.sharding import data_mesh, shard_images, sharded_apply
