@@ -139,15 +139,23 @@ def cmd_chain(argv):
             spec = argv[i + 1]
             argv[i + 1] = "--"  # consumed: don't parse the value as a positional
     argv = [a for a in argv if a != "--"]
-    in_dir, out_dir = _positional(argv, 2, "chain IN_DIR OUT_DIR --ops OP:V,... [--size=WxH]")[:2]
+    in_dir, out_dir = _positional(
+        argv, 2,
+        "chain IN_DIR OUT_DIR --ops OP:V,... [--size=WxH] [--strict-parity] [--fast-compile]",
+    )[:2]
     if spec is None:
         raise SystemExit("chain requires --ops, e.g. --ops=blur:1.5,rotation:15,grayscale")
     strict = any(a == "--strict-parity" for a in argv)
+    # one-shot CLI runs usually prefer seconds of compile over the last
+    # ~25% of steady-state throughput (build_chain_fn docstring)
+    fast_compile = any(a == "--fast-compile" for a in argv)
     chain = parse_ops(spec)
     imgs, paths = load_folder_images(in_dir, size=_parse_size(argv))
     if len(paths) == 0:
         raise SystemExit(f"no images found under {in_dir}")
-    out = build_chain_fn(chain, strict_parity=strict)(jnp.asarray(imgs))
+    out = build_chain_fn(chain, strict_parity=strict, fast_compile=fast_compile)(
+        jnp.asarray(imgs)
+    )
     save_batch_images(np.asarray(out), paths, out_dir, "chained")
     print(f"applied {len(chain)} ops to {len(paths)} images -> {out_dir}")
 

@@ -187,6 +187,7 @@ def build_chain_fn(
     strict_parity: bool = False,
     warp_method: str = "bilinear",
     jit: bool = True,
+    fast_compile: bool = False,
 ) -> Callable[[jnp.ndarray, jax.Array | None], jnp.ndarray]:
     """Compile a chain into ``fn(images, key=None) -> images``.
 
@@ -194,6 +195,18 @@ def build_chain_fn(
     fused into single gathers and intermediates stay f32. With True, every op
     quantizes to uint8 semantics exactly like the reference's sequential PIL
     calls.
+
+    ``fast_compile=True`` trades steady-state throughput for cold-compile
+    latency on the fused blur->rotate(->grayscale) stage: a STATIC nonzero
+    rotation angle routes through the log-routed per-image-angle kernel
+    (one small executable per (shape, 5-degree budget), compiling in
+    seconds) instead of the fully-unrolled static megakernel (fastest
+    steady state, but minutes of Mosaic compile per (shape, angle) —
+    PERF.md 'compile latency'). Worth it for one-shot CLI runs and angle
+    sweeps; keep the default for serving a fixed chain. Device-side f32
+    shift computation may flip measure-zero truncation boundaries by
+    <=1 LSB vs the host-shift static kernel (same budget as
+    tests/test_megakernel.py::test_traced_angle_megakernel_matches_static).
 
     When every chain parameter is a plain scalar, the jitted function is
     CACHED by (chain values, flags): repeated ``build_chain_fn`` calls for
@@ -213,6 +226,7 @@ def build_chain_fn(
                 ),
                 strict_parity,
                 warp_method,
+                fast_compile,
             )
             hash(cache_key)
         except TypeError:
@@ -248,6 +262,13 @@ def build_chain_fn(
                 # contract (f32 intermediates, ONE final quantization) for
                 # the fused stage: higher quality than per-op rounding and
                 # ~4 fewer VPU passes. Oracle: fast_warp.fused_stream_chain.
+                if bound is None and fast_compile and angle != 0.0:
+                    # static angle, but compile latency prioritized: reuse
+                    # the log-routed kernel with a constant angle vector —
+                    # seconds of Mosaic compile instead of minutes, ~0.74x
+                    # steady-state throughput (see the docstring)
+                    bound = _round_budget(abs(float(angle)))
+                    angle = jnp.full((x.shape[0],), angle, jnp.float32)
                 if bound is not None:
                     from imagetransformations_tpu.ops.pallas.megakernel import (
                         fused_blur_rotate_batched,

@@ -220,6 +220,33 @@ def test_traced_angle_megakernel_matches_static(rng):
             assert err.max() <= 1, (stream, a, err.max())
 
 
+def test_fast_compile_chain_matches_stream_oracle(rng):
+    """build_chain_fn(fast_compile=True) routes a STATIC angle through the
+    log-routed kernel (seconds of compile instead of minutes, PERF.md) —
+    output must match the stream oracle within the traced-kernel budget
+    (device f32 shifts: <=1 LSB at floor boundaries)."""
+    imgs = rng.integers(0, 256, (2, 72, 56, 3), dtype=np.uint8)
+    chain = [
+        OpSpec("blur", {"radius": 1.5}),
+        OpSpec("rotation", {"angle": 15.0}),
+        OpSpec("grayscale"),
+    ]
+    out = np.asarray(
+        build_chain_fn(chain, fast_compile=True)(jnp.asarray(imgs))
+    )
+    ref = ofw.fused_stream_chain(imgs, 1.5, 15.0, grayscale_out=True)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1
+    assert (err > 0).mean() <= 0.001
+
+    # angle 0 (blur-only short-circuit) keeps the static kernel: identical
+    # to the default build
+    chain0 = [OpSpec("blur", {"radius": 1.5}), OpSpec("grayscale")]
+    a = np.asarray(build_chain_fn(chain0, fast_compile=True)(jnp.asarray(imgs)))
+    b = np.asarray(build_chain_fn(chain0)(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_traced_megakernel_budget_edges(rng):
     """The static routing budget's documented edge behavior: concrete
     angles beyond max_angle_deg raise ValueError; the exact budget angle
