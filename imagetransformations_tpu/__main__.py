@@ -146,8 +146,9 @@ def cmd_chain(argv):
     if spec is None:
         raise SystemExit("chain requires --ops, e.g. --ops=blur:1.5,rotation:15,grayscale")
     strict = any(a == "--strict-parity" for a in argv)
-    # one-shot CLI runs usually prefer seconds of compile over the last
-    # ~25% of steady-state throughput (build_chain_fn docstring)
+    # one-shot CLI runs usually prefer the shared-across-angles executable
+    # (one compile per shape+budget) over the last ~25% of steady-state
+    # throughput (build_chain_fn docstring)
     fast_compile = any(a == "--fast-compile" for a in argv)
     chain = parse_ops(spec)
     imgs, paths = load_folder_images(in_dir, size=_parse_size(argv))

@@ -198,14 +198,16 @@ def build_chain_fn(
 
     ``fast_compile=True`` trades steady-state throughput for cold-compile
     latency on the fused blur->rotate(->grayscale) stage: a STATIC nonzero
-    rotation angle routes through the log-routed per-image-angle kernel
-    (one small executable per (shape, 5-degree budget), compiling in
-    seconds) instead of the fully-unrolled static megakernel (fastest
-    steady state, but minutes of Mosaic compile per (shape, angle) —
-    PERF.md 'compile latency'). Worth it for one-shot CLI runs and angle
-    sweeps; keep the default for serving a fixed chain. Device-side f32
-    shift computation may flip measure-zero truncation boundaries by
-    <=1 LSB vs the host-shift static kernel (same budget as
+    rotation angle routes through the log-routed per-image-angle kernel —
+    ONE executable per (shape, 5-degree budget) serves EVERY angle, so a
+    sweep over N angles pays one ~2-3 min Mosaic compile instead of N
+    (each static-angle specialization costs 2-4 min; the traced body
+    itself also compiles ~40% faster — PERF.md 'compile latency').
+    Throughput cost ~0.74x (10.4 vs 14.0 Gpix/s at 512). Worth it for
+    angle sweeps and one-shot CLI runs; keep the default when serving a
+    fixed chain. Device-side f32 shift computation may flip measure-zero
+    truncation boundaries by <=1 LSB vs the host-shift static kernel
+    (same budget as
     tests/test_megakernel.py::test_traced_angle_megakernel_matches_static).
 
     When every chain parameter is a plain scalar, the jitted function is
@@ -265,7 +267,8 @@ def build_chain_fn(
                 if bound is None and fast_compile and angle != 0.0:
                     # static angle, but compile latency prioritized: reuse
                     # the log-routed kernel with a constant angle vector —
-                    # seconds of Mosaic compile instead of minutes, ~0.74x
+                    # one shared executable per (shape, budget) instead of
+                    # a 2-4 min Mosaic compile per angle, ~0.74x
                     # steady-state throughput (see the docstring)
                     bound = _round_budget(abs(float(angle)))
                     angle = jnp.full((x.shape[0],), angle, jnp.float32)
