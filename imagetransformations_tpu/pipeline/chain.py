@@ -181,6 +181,32 @@ def _round_budget(max_abs_deg: float) -> float:
     return min(45.0, 5.0 * float(np.ceil(max_abs_deg / 5.0))) or 5.0
 
 
+def _fast_compile_spec(chain: Chain):
+    """(radius, angle, grayscale_out) when the WHOLE chain is the fused
+    blur -> rotation(static, nonzero, |a|<=45) [-> grayscale] stage —
+    the only shape where fast_compile can share an executable across
+    angles (see build_chain_fn docstring) — else None."""
+    i, radius = 0, 0.0
+    if (
+        i < len(chain)
+        and chain[i].name == "blur"
+        and _static(chain[i].params.get("radius"))
+    ):
+        radius = float(chain[i].params["radius"])
+        i += 1
+    if i >= len(chain) or chain[i].name != "rotation":
+        return None
+    a = chain[i].params.get("angle")
+    if not _static(a) or float(a) == 0.0 or abs(float(a)) > 45.0:
+        return None
+    angle = float(a)
+    i += 1
+    gray = i < len(chain) and chain[i].name == "grayscale"
+    if gray:
+        i += 1
+    return (radius, angle, gray) if i == len(chain) else None
+
+
 def build_chain_fn(
     chain: Chain,
     *,
@@ -197,17 +223,21 @@ def build_chain_fn(
     calls.
 
     ``fast_compile=True`` trades steady-state throughput for cold-compile
-    latency on the fused blur->rotate(->grayscale) stage: a STATIC nonzero
-    rotation angle routes through the log-routed per-image-angle kernel —
-    ONE executable per (shape, 5-degree budget) serves EVERY angle, so a
-    sweep over N angles pays one ~2-3 min Mosaic compile instead of N
-    (each static-angle specialization costs 2-4 min; the traced body
-    itself also compiles ~40% faster — PERF.md 'compile latency').
-    Throughput cost ~0.74x (10.4 vs 14.0 Gpix/s at 512). Worth it for
-    angle sweeps and one-shot CLI runs; keep the default when serving a
-    fixed chain. Device-side f32 shift computation may flip measure-zero
-    truncation boundaries by <=1 LSB vs the host-shift static kernel
-    (same budget as
+    latency when the WHOLE chain is the fused blur->rotate(->grayscale)
+    stage with a static nonzero angle: the chain then runs as a host-side
+    call into the log-routed per-image-angle kernel's own jit, with the
+    angle vector as a RUNTIME operand — ONE executable per (shape,
+    radius, 5-degree budget) serves EVERY angle, so a sweep over N angles
+    pays one ~3 min Mosaic compile instead of N x 2-4 min static-angle
+    specializations (PERF.md 'compile latency'). An enclosing outer jit
+    would constant-fold the angle back into a per-angle executable, which
+    is exactly why this path skips the chain-level jit (the kernel call
+    IS the chain; there is nothing else to fuse). Chains with additional
+    surrounding ops fall back to the normal fused build (fast_compile is
+    a no-op there — sharing is impossible once the outer trace bakes the
+    constant in). Throughput cost ~0.74x (10.4 vs 14.0 Gpix/s at 512).
+    Device-side f32 shift computation may flip measure-zero truncation
+    boundaries by <=1 LSB vs the host-shift static kernel (same budget as
     tests/test_megakernel.py::test_traced_angle_megakernel_matches_static).
 
     When every chain parameter is a plain scalar, the jitted function is
@@ -218,6 +248,41 @@ def build_chain_fn(
     and ``batch._apply_all_fn`` cache those paths at their own level).
     """
     chain = list(chain)
+    if fast_compile and not strict_parity and jit:
+        fc = _fast_compile_spec(chain)
+        if fc is not None:
+            radius_fc, angle_fc, gray_fc = fc
+            budget_fc = _round_budget(abs(angle_fc))
+
+            from imagetransformations_tpu.ops.pallas.megakernel import (
+                fused_blur_rotate_batched,
+            )
+
+            def fc_fn(images: jnp.ndarray, key: jax.Array | None = None):
+                if (
+                    images.ndim == 4
+                    and images.dtype == jnp.uint8
+                    and (not gray_fc or images.shape[3] == 3)
+                ):
+                    # host-side numpy vector (never eager jnp: ~40 ms/op on
+                    # the tunnel) into the kernel's OWN jit, where the
+                    # angle is a runtime operand — this is what shares the
+                    # executable across angles; any outer jit here would
+                    # constant-fold it back into a per-angle trace
+                    av = np.full((images.shape[0],), angle_fc, np.float32)
+                    return fused_blur_rotate_batched(
+                        images, radius_fc, av, grayscale_out=gray_fc,
+                        stream=True, max_angle_deg=budget_fc,
+                    )
+                # dtype/shape the kernel can't take: the normal fused build
+                return build_chain_fn(
+                    chain, strict_parity=strict_parity,
+                    warp_method=warp_method, jit=jit,
+                )(images, key)
+
+            return fc_fn
+        # not the pure fused-stage shape: sharing is impossible (the outer
+        # trace would bake the angle in) — fall through to the normal build
     cache_key = None
     if jit:
         try:
@@ -226,9 +291,11 @@ def build_chain_fn(
                     (sp.name, tuple(sorted(sp.params.items())))
                     for sp in chain
                 ),
+                # fast_compile is NOT part of the key: past this point the
+                # build is identical to the default one (the fast_compile
+                # special case returned above)
                 strict_parity,
                 warp_method,
-                fast_compile,
             )
             hash(cache_key)
         except TypeError:
@@ -264,14 +331,6 @@ def build_chain_fn(
                 # contract (f32 intermediates, ONE final quantization) for
                 # the fused stage: higher quality than per-op rounding and
                 # ~4 fewer VPU passes. Oracle: fast_warp.fused_stream_chain.
-                if bound is None and fast_compile and angle != 0.0:
-                    # static angle, but compile latency prioritized: reuse
-                    # the log-routed kernel with a constant angle vector —
-                    # one shared executable per (shape, budget) instead of
-                    # a 2-4 min Mosaic compile per angle, ~0.74x
-                    # steady-state throughput (see the docstring)
-                    bound = _round_budget(abs(float(angle)))
-                    angle = jnp.full((x.shape[0],), angle, jnp.float32)
                 if bound is not None:
                     from imagetransformations_tpu.ops.pallas.megakernel import (
                         fused_blur_rotate_batched,

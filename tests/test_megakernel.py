@@ -171,24 +171,40 @@ def test_unaligned_u8_relayout_flags_parity(rng):
             jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True
         )
     )
+    angles = jnp.asarray([15.0, -9.0], jnp.float32)
+    base_traced = np.asarray(
+        mk.fused_blur_rotate_batched(
+            jnp.asarray(imgs), 1.5, angles, grayscale_out=True, stream=True
+        )
+    )
     old = mk._UNALIGNED_LUMA_U8, mk._U8_OUTPUT_STORE
     try:
         # flip both flags relative to the module defaults — parity must
         # hold whichever way the defaults land after hardware validation
         mk._UNALIGNED_LUMA_U8 = not old[0]
         mk._U8_OUTPUT_STORE = not old[1]
-        # the jit cache keys on static args only — clear so the flags
+        # the jit caches key on static args only — clear so the flags
         # re-trace the kernel bodies
         fused_blur_rotate_image.clear_cache()
+        mk._fused_blur_rotate_batched_jit.clear_cache()
         out = np.asarray(
             fused_blur_rotate_image(
                 jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True
             )
         )
+        # the TRACED gray1 kernel shares _luma_blur_front and the output
+        # store — cover it under the flipped flags too
+        out_traced = np.asarray(
+            mk.fused_blur_rotate_batched(
+                jnp.asarray(imgs), 1.5, angles, grayscale_out=True, stream=True
+            )
+        )
     finally:
         mk._UNALIGNED_LUMA_U8, mk._U8_OUTPUT_STORE = old
         fused_blur_rotate_image.clear_cache()
+        mk._fused_blur_rotate_batched_jit.clear_cache()
     np.testing.assert_array_equal(out, base)
+    np.testing.assert_array_equal(out_traced, base_traced)
 
 
 def test_traced_angle_megakernel_matches_static(rng):
@@ -221,10 +237,13 @@ def test_traced_angle_megakernel_matches_static(rng):
 
 
 def test_fast_compile_chain_matches_stream_oracle(rng):
-    """build_chain_fn(fast_compile=True) routes a STATIC angle through the
-    log-routed kernel (seconds of compile instead of minutes, PERF.md) —
-    output must match the stream oracle within the traced-kernel budget
-    (device f32 shifts: <=1 LSB at floor boundaries)."""
+    """build_chain_fn(fast_compile=True) runs a pure fused-stage chain as
+    a host-side call into the traced kernel's own jit — output must match
+    the stream oracle within the traced-kernel budget (device f32 shifts:
+    <=1 LSB at floor boundaries), and the EXECUTABLE must actually be
+    shared across angles within one routing budget (the whole point)."""
+    from imagetransformations_tpu.ops.pallas import megakernel as mk
+
     imgs = rng.integers(0, 256, (2, 72, 56, 3), dtype=np.uint8)
     chain = [
         OpSpec("blur", {"radius": 1.5}),
@@ -239,12 +258,37 @@ def test_fast_compile_chain_matches_stream_oracle(rng):
     assert err.max() <= 1
     assert (err > 0).mean() <= 0.001
 
+    # sharing: two different angles in the SAME 5-degree budget add at most
+    # one new entry to the traced kernel's jit cache (the angle rides in as
+    # a runtime operand, not a baked constant)
+    mk._fused_blur_rotate_batched_jit.clear_cache()
+    for a in (7.0, 9.0):
+        build_chain_fn(
+            [
+                OpSpec("blur", {"radius": 1.5}),
+                OpSpec("rotation", {"angle": a}),
+                OpSpec("grayscale"),
+            ],
+            fast_compile=True,
+        )(jnp.asarray(imgs))
+    assert mk._fused_blur_rotate_batched_jit._cache_size() == 1
+
     # angle 0 (blur-only short-circuit) keeps the static kernel: identical
     # to the default build
     chain0 = [OpSpec("blur", {"radius": 1.5}), OpSpec("grayscale")]
     a = np.asarray(build_chain_fn(chain0, fast_compile=True)(jnp.asarray(imgs)))
     b = np.asarray(build_chain_fn(chain0)(jnp.asarray(imgs)))
     np.testing.assert_array_equal(a, b)
+
+    # a chain with surrounding ops falls back to the normal fused build
+    chain_x = [
+        OpSpec("brightness", {"factor": 0.1}),
+        OpSpec("blur", {"radius": 1.5}),
+        OpSpec("rotation", {"angle": 15.0}),
+    ]
+    fx = np.asarray(build_chain_fn(chain_x, fast_compile=True)(jnp.asarray(imgs)))
+    fy = np.asarray(build_chain_fn(chain_x)(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(fx, fy)
 
 
 def test_traced_megakernel_budget_edges(rng):

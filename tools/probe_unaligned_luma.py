@@ -20,6 +20,8 @@ ops/pallas/megakernel._UNALIGNED_LUMA_U8 = False (one-line rollback).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -27,9 +29,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import timed_gpix  # flat-carry scan timing, comparable to anchors
 from imagetransformations_tpu.ops.pallas import megakernel as mk
 from imagetransformations_tpu.oracle import fast_warp as ofw
-from imagetransformations_tpu.utils.profiling import op_throughput
 
 
 def parity(shape, radius, angle, traced):
@@ -90,7 +94,7 @@ def main():
             ("static512", (4, 512, 512), False),
         ]:
             t0 = time.time()
-            mx, frac = parity(shape, 2.0, 15.0, traced)
+            mx, frac = parity(shape, 1.5, 15.0, traced)
             results[f"{tag}.{name}"] = {
                 "max_lsb": mx,
                 "flip_frac": round(frac, 6),
@@ -99,26 +103,20 @@ def main():
             }
             print(f"{tag}.{name}: {results[f'{tag}.{name}']}", flush=True)
 
-        # throughput (scan-K inside one jit, RPC floor subtracted);
-        # tunnel variance is +-10% — only a consistent win justifies the flip
-        for name, (h, w, bs) in [
-            ("gpix224", (224, 224, 96)),
-            ("gpix512", (512, 512, 32)),
-        ]:
-            x = jnp.asarray(
-                np.random.default_rng(0).integers(
-                    0, 256, (bs, h, w, 3), dtype=np.uint8
-                )
+        # throughput via bench.timed_gpix (flat [N,H,W*C] scan carry + RPC
+        # floor subtraction — the SAME methodology as the CLAUDE.md anchors;
+        # an NHWC carry adds two relayout copies and reads ~30% low at 512).
+        # Tunnel variance is +-10% — only a consistent win justifies a flip.
+        def fn(v):
+            return mk.fused_blur_rotate_image(
+                v, 1.5, 15.0, grayscale_out=True, stream=True
             )
 
-            def fn(v):
-                return mk.fused_blur_rotate_image(
-                    v, 2.0, 15.0, grayscale_out=True, stream=True
-                )
-
-            best = max(
-                op_throughput(fn, x)["gpix_per_s"] for _ in range(3)
-            )  # best-of-3 rejects tunnel stalls
+        for name, (h, w, bs, k) in [
+            ("gpix224", (224, 224, 96, 24)),
+            ("gpix512", (512, 512, 32, 32)),
+        ]:
+            best = max(timed_gpix(bs, h, w, k=k, fn=fn) for _ in range(3))
             results[f"{tag}.{name}"] = round(best, 3)
             print(f"{tag}.{name}: {results[f'{tag}.{name}']} Gpix/s", flush=True)
 
