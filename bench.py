@@ -171,7 +171,10 @@ def main() -> None:
             x, RADIUS, ang, grayscale_out=True, stream=True
         )
 
-    gpix_traced = extra(lambda: timed_gpix(BATCH, H, W, k=12, fn=traced_fn))
+    # k=24: a ~25 ms scan window — at k=12 the window is comparable to the
+    # ~30 ms RPC floor and floor-estimate jitter swings the reading 25%+
+    # (measured: k=12 gave 6.3-8.8 over repeats, k=24/48 tightened to 7.5-8.7)
+    gpix_traced = extra(lambda: timed_gpix(BATCH, H, W, k=24, fn=traced_fn))
     result = {
         "metric": "fused blur+rotate+grayscale Gpixels/s/chip (512x512 RGB)",
         "value": round(gpix, 3),
