@@ -9,6 +9,18 @@ from imagetransformations_tpu.workflows import transform_folder
 if __name__ == "__main__":
     cfg = FrameworkConfig.from_cli()
     in_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "./photos"
+    if not os.path.isdir(in_dir):
+        # no input folder: synthesize a small demo set (other examples use
+        # synthetic data too) instead of silently writing nothing
+        import numpy as np
+        from PIL import Image
+
+        os.makedirs(in_dir, exist_ok=True)
+        rng = np.random.default_rng(cfg.seed)
+        for i in range(4):
+            arr = rng.integers(0, 256, (160, 224, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(os.path.join(in_dir, f"demo{i}.jpeg"))
+        print(f"created {in_dir} with 4 synthetic jpegs")
     out_dir = in_dir.rstrip("/") + "_transformed"
     written = transform_folder(in_dir, out_dir, jax.random.key(cfg.seed))
     total = sum(len(v) for v in written.values())
