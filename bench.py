@@ -147,7 +147,9 @@ def main() -> None:
     gpix = timed_gpix(BATCH, H, W)
 
     # The two EXTRA metrics below must never take down the headline line —
-    # a compile failure or tunnel stall in an extra reports as -1 instead.
+    # a compile/runtime error in an extra reports as -1 instead. (A tunnel
+    # STALL still hangs — it raises nothing; the driver's outer timeout is
+    # the only protection for that mode.)
     def extra(thunk) -> float:
         try:
             return thunk()

@@ -8,10 +8,20 @@ from imagetransformations_tpu.workflows import transform_folder
 
 if __name__ == "__main__":
     cfg = FrameworkConfig.from_cli()
-    in_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "./photos"
-    if not os.path.isdir(in_dir):
-        # no input folder: synthesize a small demo set (other examples use
-        # synthetic data too) instead of silently writing nothing
+    explicit = len(sys.argv) > 1 and not sys.argv[1].startswith("--")
+    in_dir = sys.argv[1] if explicit else "./photos"
+    exts = (".jpg", ".jpeg", ".png")
+    has_images = os.path.isdir(in_dir) and any(
+        f.lower().endswith(exts) for f in os.listdir(in_dir)
+    )
+    if not has_images and explicit:
+        # a user-supplied path that is missing/empty is an error (never
+        # create or fill a possibly-typo'd directory with demo noise)
+        sys.exit(f"error: no images found in {in_dir!r}")
+    if not has_images:
+        # default ./photos absent or empty: synthesize a small demo set
+        # (other examples use synthetic data too) instead of silently
+        # writing nothing
         import numpy as np
         from PIL import Image
 

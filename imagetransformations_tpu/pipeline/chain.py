@@ -185,7 +185,16 @@ def _fast_compile_spec(chain: Chain):
     """(radius, angle, grayscale_out) when the WHOLE chain is the fused
     blur -> rotation(static, nonzero, |a|<=45) [-> grayscale] stage —
     the only shape where fast_compile can share an executable across
-    angles (see build_chain_fn docstring) — else None."""
+    angles (see build_chain_fn docstring) — else None.
+
+    MUST stay a strict subset of ``_match_mega``'s static-angle matching
+    (guarded by test_megakernel.test_fast_compile_spec_subset_of_match_mega):
+    anything accepted here would otherwise route the static megakernel, so
+    divergence silently changes which kernel a chain runs. Deliberate
+    differences: angle 0 is rejected (a no-shear static kernel compiles
+    fast — sharing buys nothing), traced/array angles are rejected (they
+    already share via _match_mega's bound path), and the grayscale channel
+    check happens at call time in fc_fn (x is unknown here)."""
     i, radius = 0, 0.0
     if (
         i < len(chain)
@@ -235,7 +244,8 @@ def build_chain_fn(
     IS the chain; there is nothing else to fuse). Chains with additional
     surrounding ops fall back to the normal fused build (fast_compile is
     a no-op there — sharing is impossible once the outer trace bakes the
-    constant in). Throughput cost ~0.74x (10.4 vs 14.0 Gpix/s at 512).
+    constant in). Throughput cost ~0.6-0.7x (sustained ~8.5 vs 14.0
+    Gpix/s at 512 — PERF.md 'traced-angle band note').
     Device-side f32 shift computation may flip measure-zero truncation
     boundaries by <=1 LSB vs the host-shift static kernel (same budget as
     tests/test_megakernel.py::test_traced_angle_megakernel_matches_static).

@@ -343,3 +343,43 @@ def test_chain_routes_traced_angles_to_fused_megakernel(rng):
         )
         err = np.abs(out[i : i + 1].astype(int) - ref.astype(int))
         assert err.max() <= 1, (a, err.max())
+
+
+def test_fast_compile_spec_subset_of_match_mega(rng):
+    """_fast_compile_spec must stay a strict subset of _match_mega's
+    static-angle matching: any chain it accepts would otherwise run the
+    static megakernel, so the two matchers drifting apart silently changes
+    which kernel (and which parity budget) a chain gets."""
+    from imagetransformations_tpu.pipeline.chain import (
+        _fast_compile_spec,
+        _match_mega,
+    )
+
+    x = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8))
+    chains = [
+        [OpSpec("blur", {"radius": 1.5}), OpSpec("rotation", {"angle": 15.0}),
+         OpSpec("grayscale")],
+        [OpSpec("blur", {"radius": 2.0}), OpSpec("rotation", {"angle": -7.5})],
+        [OpSpec("rotation", {"angle": 44.9}), OpSpec("grayscale")],
+        [OpSpec("rotation", {"angle": 3.0})],
+        # non-matching shapes: angle 0 / >45 / trailing op / leading op
+        [OpSpec("blur", {"radius": 1.5}), OpSpec("rotation", {"angle": 0.0})],
+        [OpSpec("rotation", {"angle": 46.0})],
+        [OpSpec("blur", {"radius": 1.5}), OpSpec("rotation", {"angle": 5.0}),
+         OpSpec("grayscale"), OpSpec("brightness", {"factor": 0.1})],
+        [OpSpec("brightness", {"factor": 0.1}),
+         OpSpec("rotation", {"angle": 5.0})],
+        [OpSpec("blur", {"radius": 1.5})],
+        [OpSpec("grayscale")],
+    ]
+    for chain in chains:
+        fc = _fast_compile_spec(chain)
+        if fc is None:
+            continue
+        radius_fc, angle_fc, gray_fc = fc
+        mm = _match_mega(chain, 0, False, x)
+        assert mm is not None, chain
+        radius, angle, gray, consumed, bound = mm
+        assert consumed == len(chain), chain  # whole-chain match only
+        assert bound is None, chain  # static angle => no routing bound
+        assert (radius, angle, gray) == (radius_fc, angle_fc, gray_fc), chain

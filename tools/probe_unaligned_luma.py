@@ -95,11 +95,14 @@ def main():
         ]:
             t0 = time.time()
             mx, frac = parity(shape, 1.5, 15.0, traced)
+            # traced-angle budget is <=1 LSB (device f32 shift floor() can
+            # flip measure-zero truncation boundaries — the same gate
+            # bench_kernels and test_megakernel apply); static is 0 LSB
             results[f"{tag}.{name}"] = {
                 "max_lsb": mx,
                 "flip_frac": round(frac, 6),
                 "wall_s": round(time.time() - t0, 1),
-                "ok": mx == 0,
+                "ok": mx <= (1 if traced else 0),
             }
             print(f"{tag}.{name}: {results[f'{tag}.{name}']}", flush=True)
 
@@ -113,7 +116,7 @@ def main():
             )
 
         for name, (h, w, bs, k) in [
-            ("gpix224", (224, 224, 96, 24)),
+            ("gpix224", (224, 224, 128, 24)),  # batch 128 = bench.py's anchor
             ("gpix512", (512, 512, 32, 32)),
         ]:
             best = max(timed_gpix(bs, h, w, k=k, fn=fn) for _ in range(3))
