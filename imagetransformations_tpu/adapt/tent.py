@@ -236,12 +236,17 @@ def evaluate_with_tent(
 
     state = state0
     correct = total = 0
+    # only the conditional protocol reads the raw uint8 images (pixel-
+    # entropy gate); stacking/shipping them for continuous/reset would
+    # waste an extra executable + a big host->device transfer (~11 MB/s
+    # on the tunnel) on data the scan body never touches
+    use_raw = has_raw and protocol == "conditional"
     if main_n >= 2:
         xs = jnp.stack([xof(b) for b in batches[:main_n]])
         ys = jnp.stack(labels_batches[:main_n])
-        raws = jnp.stack([b[1] for b in batches[:main_n]]) if has_raw else None
+        raws = jnp.stack([b[1] for b in batches[:main_n]]) if use_raw else None
         run = _tent_eval_scan_fn(
-            model_apply, lr, protocol, image_entropy_threshold, has_raw
+            model_apply, lr, protocol, image_entropy_threshold, use_raw
         )
         state, c = run(state0, xs, ys, raws)
         correct += int(c)

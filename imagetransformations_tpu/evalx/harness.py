@@ -36,11 +36,8 @@ from imagetransformations_tpu.uq.calibration import auroc, youden_threshold
 
 def _elastic(x, v, k):
     h, w = int(x.shape[-3]), int(x.shape[-2])
-    m = min(h, w)
-    af, sf, aa = v
-    return cr.elastic_transform_affine(
-        x, af * m, max(sf * m, 0.5), aa * m, key=k
-    )
+    a, s, aa = cr.elastic_affine_pixels(h, w, *v)
+    return cr.elastic_transform_affine(x, a, s, aa, key=k)
 
 
 #: corruption name -> (fn(images_u8, severity_value, key), [5 severity values]);

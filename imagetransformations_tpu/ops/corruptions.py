@@ -128,15 +128,6 @@ def _sample_bilinear_clamped(xf: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) 
     return (a + fx * (b - a)) + fy * ((c + fx * (d - c)) - (a + fx * (b - a)))
 
 
-def _zoom_coords(n: int, h: int, w: int, factor: float):
-    cy, cx = h / 2.0, w / 2.0
-    ys = (cy + (jnp.arange(h, dtype=F32) + F32(0.5) - cy) / F32(factor)) - F32(0.5)
-    xs = (cx + (jnp.arange(w, dtype=F32) + F32(0.5) - cx) / F32(factor)) - F32(0.5)
-    yy = jnp.broadcast_to(ys[None, :, None], (n, h, w))
-    xx = jnp.broadcast_to(xs[None, None, :], (n, h, w))
-    return yy, xx
-
-
 def _clipped_zoom_coords_b(n: int, h: int, w: int, factor: float):
     """Hendrycks clipped_zoom coords (integer crop + align-corners resize),
     precomputed host-side per static factor (oracle.clipped_zoom_coords)."""
@@ -190,14 +181,17 @@ def glass_blur(
 ) -> jnp.ndarray:
     """blur -> iterations of random local pixel displacement -> blur.
 
-    offsets: int [iterations, N, H, W, 2] in [-max_delta, max_delta]
-    (generated from ``key`` when omitted). oracle.corruptions.glass_blur.
+    offsets: int [iterations, N, H, W, 2] in [-max_delta, max_delta - 1]
+    (generated from ``key`` when omitted) — the CIFAR-10-C recipe draws
+    ``np.random.randint(-d, d)`` with the HIGH bound EXCLUSIVE, so with
+    the severity tables' d=1 displacements come from {-1, 0}, never +1.
+    oracle.corruptions.glass_blur.
     """
     x, single = as_batch(img)
     n, h, w, _ = x.shape
     if offsets is None:
         offsets = jax.random.randint(
-            key, (iterations, n, h, w, 2), -max_delta, max_delta + 1, dtype=jnp.int32
+            key, (iterations, n, h, w, 2), -max_delta, max_delta, dtype=jnp.int32
         )
     else:
         offsets = jnp.asarray(offsets, jnp.int32)
@@ -227,7 +221,10 @@ def _plasma_fractal(draws: jnp.ndarray, wibbledecay: float, size: int) -> jnp.nd
     """
     n = draws.shape[0]
     m = jnp.zeros((n, size, size), F32)
-    stepsize, wibble, lvl = size, 100.0, 0
+    # wibble must follow the oracle's f32 division chain — a Python-f64
+    # chain diverges from f32(100/decay/.../decay) at level >= 5 for
+    # decay 2.5 (>= 64px fog), flipping coefficients vs the oracle
+    stepsize, wibble, lvl = size, np.float32(100.0), 0
     while stepsize >= 2:
         half = stepsize // 2
         d = draws[:, lvl].astype(F32)
@@ -250,7 +247,7 @@ def _plasma_fractal(draws: jnp.ndarray, wibbledecay: float, size: int) -> jnp.nd
             (tdr + tul) / F32(4.0) + F32(wibble) * d[:, half::stepsize, 0:size:stepsize]
         )
         stepsize //= 2
-        wibble /= wibbledecay
+        wibble = np.float32(wibble / np.float32(wibbledecay))
         lvl += 1
     mn = m.min(axis=(1, 2), keepdims=True)
     m = m - mn
@@ -615,11 +612,21 @@ def elastic_transform_affine(
     return restore_layout(out if img.dtype == jnp.uint8 else out.astype(F32), single)
 
 
+def elastic_affine_pixels(
+    h: int, w: int, af: float, sf: float, aa: float
+) -> tuple[float, float, float]:
+    """(alpha, sigma, alpha_affine) fractions -> pixels for an HxW image
+    (sigma floored at 0.5 px so tiny images still displace). The ONE place
+    the fraction->pixel scaling rule lives — evalx.harness routes through
+    it too."""
+    m = min(h, w)
+    return af * m, max(sf * m, 0.5), aa * m
+
+
 def elastic_affine_params(h: int, w: int, severity: int) -> tuple[float, float, float]:
     """Severity -> (alpha, sigma, alpha_affine) in pixels for an HxW image."""
     af, sf, aa = ELASTIC_AFFINE_SEV[severity - 1]
-    m = min(h, w)
-    return af * m, max(sf * m, 0.5), aa * m
+    return elastic_affine_pixels(h, w, af, sf, aa)
 
 
 def elastic_pixels(h: int, w: int, af: float, sf: float) -> tuple[float, float]:

@@ -157,7 +157,9 @@ def glass_blur(
     img_u8: np.ndarray, sigma: float, max_delta: int, iterations: int, offsets: np.ndarray
 ) -> np.ndarray:
     """Gaussian blur -> `iterations` rounds of random local pixel displacement
-    (gather by offsets in [-max_delta, max_delta]) -> Gaussian blur.
+    (gather by offsets in [-max_delta, max_delta - 1]: the CIFAR-10-C
+    recipe's ``np.random.randint(-d, d)`` is high-EXCLUSIVE) -> Gaussian
+    blur.
 
     offsets: int array [iterations, H, W, 2] of (dy, dx).
     """

@@ -155,7 +155,8 @@ def apply_all_transformations(
     canvas semantics (LANCZOS resize / canvas widening); with parity on they
     are applied per unique value via the exact ops (few compiles — the grids
     have 6 and 11 values); with parity off, scale falls back to the batched
-    affine zoom and shear is skipped.
+    affine zoom and shear to the log-routed fast kernel (``_shear_fast``) —
+    both modes produce every one of the 8 type keys.
 
     The WHOLE sweep (parameter draws + all 8 batched ops) runs as ONE jitted
     dispatch: on the tunneled runtime each dispatch pays a ~30 ms RPC floor,

@@ -8,9 +8,12 @@ TPU-native redesign of the reference's SWAGWrapper subsystem
   keeps them as per-parameter module buffers on CPU).
 - ``update`` is a pure (state, params) -> state step (update_stats parity,
   swag_wrapper.py:227-266).
-- ``sample`` draws theta = mean + diag_scale * sigma_diag * z1 +
-  lowrank_scale * D z2 (swag_wrapper.py:333-383) — jit-compiled; drawing S
-  samples is a vmap, not a Python loop.
+- ``sample`` draws theta = mean + sigma_diag/sqrt(2) * z1 +
+  D z2 / sqrt(2(K-1)) (swag_wrapper.py:333-383, reference scaling; the
+  diagonal sqrt(2) tempering applies only with the low-rank half). Drawing
+  S samples is a vmap inside ONE jitted dispatch, not a Python loop; the
+  scale factors ride as runtime operands so tempering sweeps never
+  retrace.
 - ``refresh_batch_stats`` re-estimates BatchNorm statistics with a scanned
   forward pass (swag_wrapper.py:484-533's full train-loader pass).
 """
@@ -18,10 +21,13 @@ TPU-native redesign of the reference's SWAGWrapper subsystem
 from __future__ import annotations
 
 import dataclasses
+import functools
+import math
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass
@@ -78,14 +84,25 @@ def update(state: SwagState, params) -> SwagState:
     return SwagState(new_mean, new_sq, new_dev, state.n_models + 1, state.max_rank)
 
 
-def sample(
+def _resolve_diag_scale(diag_scale, use_lowrank: bool) -> np.float32:
+    """Reference scaling (swag_wrapper.py:362-374): the diagonal term is
+    ``std * z`` divided by sqrt(2) ONLY when the low-rank half is used (so
+    each half contributes half the posterior variance), and unscaled
+    without it. An explicit float tempers the diagonal instead. Returned
+    as a numpy scalar so the jitted entry points take it as a runtime
+    operand (no retrace per value)."""
+    if diag_scale is None:
+        diag_scale = 1.0 / math.sqrt(2.0) if use_lowrank else 1.0
+    return np.float32(diag_scale)
+
+
+def _sample_impl(
     state: SwagState,
     key: jax.Array,
-    diag_scale: float = 0.5,
-    lowrank_scale: float = 1.0,
-    use_lowrank: bool = True,
+    diag_scale,
+    lowrank_scale,
+    use_lowrank: bool,
 ):
-    """Draw one weight sample theta from the SWAG posterior."""
     k1, k2 = jax.random.split(key)
     leaves, treedef = jax.tree_util.tree_flatten(state.mean)
     keys1 = list(jax.random.split(k1, len(leaves)))
@@ -113,10 +130,56 @@ def sample(
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def sample_many(state: SwagState, key: jax.Array, num_samples: int, **kw):
-    """Stacked pytree of S samples (leading axis) — one vmapped draw."""
+_sample_jit = functools.partial(jax.jit, static_argnames=("use_lowrank",))(
+    _sample_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "use_lowrank"))
+def _sample_many_jit(state, key, diag_scale, lowrank_scale, num_samples, use_lowrank):
     keys = jax.random.split(key, num_samples)
-    return jax.vmap(lambda k: sample(state, k, **kw))(keys)
+    return jax.vmap(
+        lambda k: _sample_impl(state, k, diag_scale, lowrank_scale, use_lowrank)
+    )(keys)
+
+
+def sample(
+    state: SwagState,
+    key: jax.Array,
+    diag_scale: float | None = None,
+    lowrank_scale: float = 1.0,
+    use_lowrank: bool = True,
+):
+    """Draw one weight sample theta from the SWAG posterior (jitted; the
+    scale factors ride as runtime operands, see ``_resolve_diag_scale``)."""
+    return _sample_jit(
+        state,
+        key,
+        _resolve_diag_scale(diag_scale, use_lowrank),
+        np.float32(lowrank_scale),
+        use_lowrank=use_lowrank,
+    )
+
+
+def sample_many(
+    state: SwagState,
+    key: jax.Array,
+    num_samples: int,
+    diag_scale: float | None = None,
+    lowrank_scale: float = 1.0,
+    use_lowrank: bool = True,
+):
+    """Stacked pytree of S samples (leading axis) — ONE jitted vmapped
+    dispatch (a Python loop of eager draws would pay ~40 ms per op per
+    leaf on the tunneled runtime)."""
+    return _sample_many_jit(
+        state,
+        key,
+        _resolve_diag_scale(diag_scale, use_lowrank),
+        np.float32(lowrank_scale),
+        num_samples=int(num_samples),
+        use_lowrank=use_lowrank,
+    )
 
 
 def refresh_batch_stats(

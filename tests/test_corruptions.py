@@ -44,7 +44,8 @@ def test_zoom_blur_is_multi_scale_average(rng):
 def test_glass_blur_matches_oracle(rng, sev):
     imgs = _batch(rng)
     sigma, delta, iters = cr.GLASS_BLUR_SEV[sev - 1]
-    offsets = rng.integers(-delta, delta + 1, (iters, 3, 32, 32, 2)).astype(np.int32)
+    # high-EXCLUSIVE like the recipe's np.random.randint(-d, d)
+    offsets = rng.integers(-delta, delta, (iters, 3, 32, 32, 2)).astype(np.int32)
     out = np.asarray(
         cr.glass_blur(jnp.asarray(imgs), sigma, delta, iters, offsets=jnp.asarray(offsets))
     )
@@ -372,3 +373,19 @@ def test_saturate_hsv_matches_oracle_and_skimage(rng):
     assert _max_lsb(oc.saturate_hsv(gray, 5.0, 0.1), refg) <= 1
     assert _max_lsb(np.asarray(cr.saturate_hsv(jnp.asarray(gray), 5.0, 0.1)), refg) <= 1
     assert refg[1, 1, 1] < refg[1, 1, 0]  # the tint is real: g < r on gray
+
+
+def test_fog_matches_oracle_64px(rng):
+    """>= 64px fog runs 6+ diamond-square levels, where a Python-f64 wibble
+    chain diverges from the oracle's f32 chain (decay 2.5 flips at level 5)
+    — regression gate for the f32 wibble tracking in _plasma_fractal."""
+    imgs = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    for strength, decay in (cr.FOG_SEV[2], cr.FOG_SEV[4]):
+        draws = rng.uniform(-1.0, 1.0, (2, 6, 64, 64)).astype(np.float32)
+        out = np.asarray(
+            cr.fog(jnp.asarray(imgs), strength, decay, draws=jnp.asarray(draws))
+        )
+        ref = np.stack(
+            [oc.fog(imgs[i], strength, decay, draws[i]) for i in range(2)]
+        )
+        assert _max_lsb(out, ref) <= 1, (strength, decay)
