@@ -26,6 +26,21 @@ import optax
 from imagetransformations_tpu.uq.calibration import fit_temperature
 
 
+# module-level jitted calibrate kernels: ONE dispatch per call with the
+# fitted parameters as runtime operands (eager softmax/einsum chains cost
+# ~40 ms per op on the tunneled runtime), one cached executable per logits
+# shape shared across calibrator instances
+@jax.jit
+def _ts_calibrate(logits, temperature):
+    return jax.nn.softmax(logits / temperature, axis=-1)
+
+
+@jax.jit
+def _ets_calibrate(logits, ts, w):
+    member = jax.nn.softmax(logits[None] / ts[:, None, None], axis=-1)
+    return jnp.einsum("t,tbc->bc", w, member)
+
+
 @dataclasses.dataclass
 class TemperatureScaling:
     temperature: float = 1.0
@@ -35,7 +50,7 @@ class TemperatureScaling:
         return self
 
     def calibrate(self, logits: jnp.ndarray) -> jnp.ndarray:
-        return jax.nn.softmax(logits / self.temperature, axis=-1)
+        return _ts_calibrate(logits, np.float32(self.temperature))
 
 
 @dataclasses.dataclass
@@ -72,10 +87,11 @@ class EnsembleTemperatureScaling:
         return self
 
     def calibrate(self, logits: jnp.ndarray) -> jnp.ndarray:
-        ts = jnp.asarray(self.temperatures)
-        w = jnp.asarray(self.weights)
-        member = jax.nn.softmax(logits[None] / ts[:, None, None], axis=-1)
-        return jnp.einsum("t,tbc->bc", w, member)
+        return _ets_calibrate(
+            logits,
+            np.asarray(self.temperatures, np.float32),
+            np.asarray(self.weights, np.float32),
+        )
 
 
 class IsotonicRegressionCalibration:

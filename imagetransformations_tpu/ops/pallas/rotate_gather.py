@@ -167,6 +167,24 @@ def _rot_kernel(
     o_ref[0] = out.astype(jnp.uint8)
 
 
+def _budgets(h: int, w: int, max_angle_deg: float):
+    """Routing budgets shared by the kernel and its host-side validator —
+    ONE owner so tuning a guard constant cannot desynchronize them.
+    Returns (kh, kv, bh_max, bits_bh, bv_max, bits_bv)."""
+    t = math.radians(max_angle_deg)
+    ct, st = math.cos(t), math.sin(t)
+    kh = int(math.ceil((1.0 / ct - 1.0) * w)) + 9
+    kv = int(math.ceil((1.0 - ct) * h)) + 9
+    # pass-1 base magnitude: |m1/m4|*h + |const terms| (m2, m5 are center
+    # offsets bounded by (1-cos)*dim/2 + sin*dim/2); generous bound is cheap
+    # (each extra bit is one roll+select)
+    bh_max = int(math.ceil((st / ct) * (h + 2) + 0.6 * (w + h) + 12))
+    bits_bh = max(int(math.ceil(math.log2(2 * bh_max + 1))), 1)
+    bv_max = int(math.ceil(st * (1.5 * w + 2) + h + kv + 12))
+    bits_bv = max(int(math.ceil(math.log2(2 * bv_max + 1))), 1)
+    return kh, kv, bh_max, bits_bh, bv_max, bits_bv
+
+
 @functools.lru_cache(maxsize=64)
 def _host_bounds_check(h: int, w: int, c: int, max_angle_deg: float) -> None:
     """Prove the kernel's linearization margins hold for this (shape, bound).
@@ -182,14 +200,7 @@ def _host_bounds_check(h: int, w: int, c: int, max_angle_deg: float) -> None:
     """
     from imagetransformations_tpu.ops.warp import rotation_matrix
 
-    t = math.radians(max_angle_deg)
-    ct, st = math.cos(t), math.sin(t)
-    kh = int(math.ceil((1.0 / ct - 1.0) * w)) + 9
-    kv = int(math.ceil((1.0 - ct) * h)) + 9
-    bh_max = int(math.ceil((st / ct) * (h + 2) + 0.6 * (w + h) + 12))
-    bits_bh = max(int(math.ceil(math.log2(2 * bh_max + 1))), 1)
-    bv_max = int(math.ceil(st * (1.5 * w + 2) + h + kv + 12))
-    bits_bv = max(int(math.ceil(math.log2(2 * bv_max + 1))), 1)
+    kh, kv, bh_max, bits_bh, bv_max, bits_bv = _budgets(h, w, max_angle_deg)
 
     f32 = np.float32
     xc = (np.arange(w, dtype=f32) + f32(0.5)).reshape(1, w)
@@ -304,19 +315,9 @@ def pil_rotate_nearest_batched(
     m = jnp.asarray(rotation_matrix(angles_deg, w, h), jnp.float32)
     m = jnp.broadcast_to(m.reshape(-1, 6), (n, 6))
 
-    t = math.radians(max_angle_deg)
-    ct, st = math.cos(t), math.sin(t)
-    kh = int(math.ceil((1.0 / ct - 1.0) * w)) + 9
-    kv = int(math.ceil((1.0 - ct) * h)) + 9
-    # pass-1 base magnitude: |m1/m4|*h + |const terms| (m2, m5 are center
-    # offsets bounded by (1-cos)*dim/2 + sin*dim/2); generous bound is cheap
-    # (each extra bit is one roll+select)
-    bh_max = int(math.ceil((st / ct) * (h + 2) + 0.6 * (w + h) + 12))
+    kh, kv, bh_max, bits_bh, bv_max, bits_bv = _budgets(h, w, max_angle_deg)
     bias_bh = bh_max  # biased amt in [0, 2*bh_max]
-    bits_bh = max(int(math.ceil(math.log2(2 * bh_max + 1))), 1)
-    bv_max = int(math.ceil(st * (1.5 * w + 2) + h + kv + 12))
     bias_bv = bv_max
-    bits_bv = max(int(math.ceil(math.log2(2 * bv_max + 1))), 1)
 
     xcv = (np.arange(wc) // c + 0.5).astype(np.float32).reshape(1, wc)
 

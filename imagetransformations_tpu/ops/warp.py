@@ -55,7 +55,11 @@ def translation_matrix(tx, ty) -> jnp.ndarray:
     transformation.py:288-289)."""
     xp = jnp if (is_traced(tx) or is_traced(ty)) else np
     tx = xp.atleast_1d(xp.asarray(tx, dtype=np.float32 if xp is np else F32))
-    ty = xp.broadcast_to(xp.atleast_1d(xp.asarray(ty, dtype=tx.dtype)), tx.shape)
+    ty = xp.atleast_1d(xp.asarray(ty, dtype=tx.dtype))
+    # broadcast BOTH ways (scalar tx + vector ty must work too)
+    shape = np.broadcast_shapes(tx.shape, ty.shape)
+    tx = xp.broadcast_to(tx, shape)
+    ty = xp.broadcast_to(ty, shape)
     one = xp.ones_like(tx)
     zero = xp.zeros_like(tx)
     out = xp.stack([one, zero, -xp.trunc(tx), zero, one, -xp.trunc(ty)], axis=-1)
@@ -296,7 +300,8 @@ def random_zoom(img: jnp.ndarray, factor) -> jnp.ndarray:
         )
 
         f = float(factor)
-        fac = jnp.full((x.shape[0],), f, jnp.float32)
+        # numpy, not eager jnp: operand vectors cost ~40 ms/op on the tunnel
+        fac = np.full((x.shape[0],), f, np.float32)
         out = zoom_bilinear_batched(
             x, fac, min_factor=f - 0.01, max_factor=f + 0.01
         )

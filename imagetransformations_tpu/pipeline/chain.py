@@ -385,9 +385,12 @@ def build_chain_fn(
                     else:
                         x = _apply_simple(x, spec, keys[i])
                 else:
+                    # compose_matrices(later, earlier): warp(m_a) then
+                    # warp(m_b) == one warp(compose_matrices(m_b, m_a)), so
+                    # each later op's matrix goes in the FIRST slot
                     m = _affine_matrix(spec, w, h)
                     for spec2 in chain[i + 1 : j]:
-                        m = wp.compose_matrices(m, _affine_matrix(spec2, w, h))
+                        m = wp.compose_matrices(_affine_matrix(spec2, w, h), m)
                     x = wp.affine_warp(x, m, method=warp_method, fill=0.0)
                 i = j
             elif (

@@ -15,18 +15,11 @@ import jax.numpy as jnp
 def ece(probs: jnp.ndarray, labels: jnp.ndarray, n_bins: int = 10) -> jnp.ndarray:
     """Expected calibration error over max-prob bins (ece.py:49-61).
 
-    probs: [B,C] softmax probabilities; equal-width confidence bins.
+    probs: [B,C] softmax probabilities; equal-width confidence bins —
+    the binning itself lives in ``calibration_bins`` (one place owns the
+    (lo, hi] torch.bucketize convention).
     """
-    conf = jnp.max(probs, axis=-1)
-    pred = jnp.argmax(probs, axis=-1)
-    correct = (pred == labels).astype(jnp.float32)
-    edges = jnp.linspace(0.0, 1.0, n_bins + 1)
-    # bin index: (lo, hi] like torch.bucketize in the reference
-    idx = jnp.clip(jnp.searchsorted(edges, conf, side="left") - 1, 0, n_bins - 1)
-    onehot = jax.nn.one_hot(idx, n_bins)
-    count = jnp.sum(onehot, axis=0)
-    acc = jnp.sum(onehot * correct[:, None], axis=0) / jnp.maximum(count, 1)
-    avg_conf = jnp.sum(onehot * conf[:, None], axis=0) / jnp.maximum(count, 1)
+    count, acc, avg_conf = calibration_bins(probs, labels, n_bins)
     n = probs.shape[0]
     return jnp.sum(count / n * jnp.abs(acc - avg_conf))
 
@@ -65,7 +58,6 @@ def auroc(scores: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     ``targets`` binary {0,1}; ``scores`` higher = more likely positive.
     Matches sklearn.roc_auc_score (swag/metric.py:493, energy.py:99).
     """
-    scores = scores.astype(jnp.float64) if scores.dtype == jnp.float64 else scores
     n = scores.shape[0]
     order = jnp.argsort(scores)
     sorted_s = scores[order]
@@ -117,12 +109,28 @@ def excess_aurc(confidence: jnp.ndarray, correct: jnp.ndarray) -> jnp.ndarray:
 
 
 def coverage_for_accuracy(
-    confidence: jnp.ndarray, correct: jnp.ndarray, target_acc: float = 0.95
+    confidence: jnp.ndarray,
+    correct: jnp.ndarray,
+    target_acc: float = 0.95,
+    start_index: int = 200,
 ) -> jnp.ndarray:
-    """Max coverage whose selective accuracy >= target (swag/metric.py:407)."""
-    coverage, risk = risk_coverage_curve(confidence, correct)
-    ok = (1.0 - risk) >= target_acc
-    return jnp.max(jnp.where(ok, coverage, 0.0))
+    """Coverage at the FIRST prefix (most-confident-first) whose selective
+    accuracy drops below the target — reference semantics including the
+    ``start_index`` noise rule (swag/metric.py:407-446): the crossing is
+    searched from ``start_index`` onward to skip small-prefix noise, and
+    falls back to the strict (from-0) crossing when the non-strict search
+    fires immediately. Like the reference, an accuracy that NEVER drops
+    below target returns coverage 0 (argmax of all-False is 0), not 1."""
+    order = jnp.argsort(-confidence)  # == ascending uncertainty
+    c = correct[order].astype(jnp.float32)
+    n = c.shape[0]
+    cummean = jnp.cumsum(c) / jnp.arange(1, n + 1, dtype=jnp.float32)
+    below = (cummean < target_acc).astype(jnp.float32)
+    strict = jnp.argmax(below)
+    si = min(int(start_index), max(n - 1, 0))
+    nonstrict = jnp.argmax(below[si:]) + si
+    cov = jnp.where(nonstrict > si, nonstrict, strict)
+    return cov.astype(jnp.float32) / n
 
 
 def area_under_lift_curve(confidence: jnp.ndarray, correct: jnp.ndarray) -> jnp.ndarray:
@@ -153,7 +161,14 @@ def _midranks(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def spearmanr(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Spearman rank correlation with midranks (swag/metric.py:461-489)."""
+    """Spearman rank correlation with midranks.
+
+    DELIBERATE deviation from swag/metric.py:461-489, which uses ordinal
+    ranks (argsort().argsort()) and propagates NaN for constant input:
+    midranks are the scipy.stats.spearmanr treatment of ties (quantized
+    confidences tie often), and a constant vector returns 0 here instead
+    of NaN.
+    """
     return pearsonr(_midranks(x), _midranks(y))
 
 

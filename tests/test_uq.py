@@ -210,3 +210,25 @@ def test_odin_runs_and_improves_confidence(rng):
     s = odin_score(model_fn, x, temperature=1000.0, eps=0.0014)
     base = jnp.max(jax.nn.softmax(model_fn(x) / 1000.0, -1), -1)
     assert (np.asarray(s) >= np.asarray(base) - 1e-4).all()
+
+
+def test_coverage_for_accuracy_reference_semantics():
+    """swag/metric.py:407-446 parity: the metric is the FIRST prefix
+    (most-confident-first) whose running accuracy drops below target, with
+    the start_index=200 noise rule — an early dip followed by recovery
+    must report the early crossing, not the max coverage."""
+    from imagetransformations_tpu.uq.calibration import coverage_for_accuracy
+
+    conf = jnp.asarray(np.linspace(1.0, 0.0, 1000, dtype=np.float32))
+    correct = np.ones(1000, np.float32)
+    correct[10:12] = 0.0  # dip at prefix 11: 10/11 = 0.909 < 0.95
+    cov = float(coverage_for_accuracy(conf, jnp.asarray(correct), 0.95))
+    assert abs(cov - 0.01) < 1e-6, cov  # reference returns argmax index/n = 10/1000
+    # never dropping below target returns 0 (reference argmax-of-all-False)
+    cov_all = float(coverage_for_accuracy(conf, jnp.ones(1000), 0.95))
+    assert cov_all == 0.0
+    # a late persistent drop reports the non-strict (>=200) crossing
+    correct2 = np.ones(1000, np.float32)
+    correct2[300:] = 0.0  # running mean falls below 0.95 soon after 300
+    cov2 = float(coverage_for_accuracy(conf, jnp.asarray(correct2), 0.95))
+    assert 0.3 < cov2 < 0.35, cov2
