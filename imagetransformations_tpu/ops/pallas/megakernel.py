@@ -93,15 +93,26 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _row_shifts(size: int, slope: float, center: float) -> np.ndarray:
-    # identical to oracle/fast_warp._row_shifts: f64 math, f32 result
-    y = np.arange(size, dtype=np.float64) + 0.5
-    return (slope * (y - center)).astype(np.float32)
+# the angle -> shear-shift math must stay bit-identical to the CPU oracle
+# AND the standalone shear kernels — one owner (shear.py), no copies
+from imagetransformations_tpu.ops.pallas.shear import (  # noqa: E402
+    _paeth_params,
+    _row_shifts,
+)
 
 
-def _paeth_params(angle_deg: float) -> tuple[float, float]:
-    t = math.radians(-angle_deg)  # apply_rotation sign convention
-    return -math.tan(t / 2.0), math.sin(t)
+def _gray_constants(wc: int) -> np.ndarray:
+    """[3, wc] grayscale kernel constants (see _grayscale_rows): row 0 =
+    per-lane L24 weights, row 1 = center-lane scale, row 2 = center-lane
+    bias. Host-side numpy (jnp.asarray constants can't be captured in
+    kernels — passed as an input)."""
+    lane_mod = np.arange(wc) % 3
+    gv = np.zeros((3, wc), np.float32)
+    gv[0] = np.choose(lane_mod, [19595.0, 38470.0, 7471.0])
+    center = (lane_mod == 1).astype(np.float32)
+    gv[1] = center * np.float32(1.0 / 65536.0)
+    gv[2] = center * np.float32(0.5)
+    return gv
 
 
 def _runs(k: np.ndarray) -> list[tuple[int, int, int]]:
@@ -408,7 +419,17 @@ def _luma_blur_front(x_ref, h: int, wc: int, c: int, lsx: int,
         + [t1[h - 2 - i : h - 1 - i, :] for i in range(p)],
         axis=0,
     )
-    return tap_sum(xpadv, h)  # [h, lsx]
+    bv = tap_sum(xpadv, h)  # [h, lsx]
+    if fillf != 0.0:
+        # the margin lanes rode through the Y blur and now hold
+        # fill * sum(f32 taps) != exactly fill (the non-gray kernels concat
+        # margins AFTER the blur and don't have this); restore the exact
+        # fill the shear-pass oracle pads with. One extra VPU pass, only on
+        # the cold fill != 0 path (chain.py always uses fill=0, where the
+        # blurred margin is exactly 0).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, lsx), 1)
+        bv = jnp.where(lane < w, bv, fillf)
+    return bv
 
 
 def _mega_gray1_kernel(
@@ -528,6 +549,7 @@ def _mega_traced_kernel(
     f1_ref,  # [1, h, 128] f32 pass-1/3 lerp fracs
     k2_ref,  # [1, wc, 128] i32 pass-2 shifts (per-pixel-row, c-replicated)
     f2_ref,  # [1, wc, 128] f32 pass-2 fracs
+    id_ref,  # [1, h, 128] i32 per-image flag: 1 iff angle == 0
     g_ref,  # [3, wc] f32 grayscale constants (see _grayscale_rows)
     o_ref,
     *,
@@ -603,12 +625,22 @@ def _mega_traced_kernel(
     )
     s2w = jnp.concatenate([s2[:, :h], jnp.full((ls1 - wc, h), fillf)], axis=0)
     s3 = _shear_pass_traced(
-        jnp.swapaxes(s2w, 0, 1), k1c, f1c, c, bias1, nbits1,
-        (not stream) or (not grayscale_out),
+        jnp.swapaxes(s2w, 0, 1), k1c, f1c, c, bias1, nbits1, not stream
     )
     out = s3[:, :wc]
     if grayscale_out:
         out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :])
+    elif stream:
+        # single final quantization, PER-IMAGE semantics matching the
+        # static kernel / oracle fused_stream_chain: an angle-0 image in
+        # the batch streams blur-only and quantizes with rint
+        # (fast_warp.py:160); sheared images trunc (:158). The shears are
+        # exact identities at angle 0 (v + 0*(nbr - v) == v in f32), so
+        # selecting the rounding mode here is all that's needed. The flag
+        # rides as an [h, 1] column: lanes-only broadcast (Mosaic rejects
+        # a [1, 1] source — "broadcast in both sublanes and lanes").
+        ident = id_ref[0][:, :1] != 0  # [h, 1], broadcasts over lanes
+        out = jnp.where(ident, jnp.rint(out), jnp.trunc(out))
     o_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
@@ -748,17 +780,15 @@ def _fused_blur_rotate_batched_jit(
         )
         return out.reshape(n, h, w, c)
 
-    lane_mod = np.arange(wc) % 3
-    gv = np.zeros((3, wc), np.float32)
-    gv[0] = np.choose(lane_mod, [19595.0, 38470.0, 7471.0])
-    center = (lane_mod == 1).astype(np.float32)
-    gv[1] = center * np.float32(1.0 / 65536.0)
-    gv[2] = center * np.float32(0.5)
+    gv = _gray_constants(wc)
 
     k1b = jnp.broadcast_to(k1.astype(jnp.int32)[:, :, None], (n, h, 128))
     f1b = jnp.broadcast_to(f1[:, :, None], (n, h, 128))
     k2b = jnp.broadcast_to(k2[:, :, None], (n, wc, 128))
     f2b = jnp.broadcast_to(f2[:, :, None], (n, wc, 128))
+    idb = jnp.broadcast_to(
+        (t == 0.0).astype(jnp.int32)[:, None, None], (n, h, 128)
+    )
     out = pl.pallas_call(
         functools.partial(
             _mega_traced_kernel,
@@ -774,13 +804,14 @@ def _fused_blur_rotate_batched_jit(
             pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wc, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wc, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(img.reshape(n, h, wc), k1b, f1b, k2b, f2b, jnp.asarray(gv))
+    )(img.reshape(n, h, wc), k1b, f1b, k2b, f2b, idb, jnp.asarray(gv))
     return out.reshape(n, h, w, c)
 
 
@@ -882,13 +913,7 @@ def fused_blur_rotate_image(
 
     f1b = jnp.broadcast_to(jnp.asarray(f1)[:, None], (h, 128))
     f2b = jnp.broadcast_to(jnp.asarray(f2)[:, None], (wc, 128))
-    lane_mod = np.arange(wc) % 3
-    gv = np.zeros((3, wc), np.float32)
-    gv[0] = np.choose(lane_mod, [19595.0, 38470.0, 7471.0])
-    center = (lane_mod == 1).astype(np.float32)
-    gv[1] = center * np.float32(1.0 / 65536.0)
-    gv[2] = center * np.float32(0.5)
-    gvb = jnp.asarray(gv)
+    gvb = jnp.asarray(_gray_constants(wc))
     out = pl.pallas_call(
         functools.partial(
             _mega_kernel,

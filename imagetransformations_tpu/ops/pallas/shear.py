@@ -227,7 +227,12 @@ def shear_rows_per_image(
     x2 = img.reshape(n, h, wc)
     xp = jnp.pad(x2, [(0, 0), (0, 0), (pc, total - wc - pc)], constant_values=fill)
     xt = xp.transpose(1, 0, 2)  # [H, N, total]
-    k = ((jnp.floor(shifts) + pad_px).astype(jnp.int32) * c).T.reshape(-1)  # [H*N]
+    # saturate integer shifts at the declared pad budget: a shift beyond
+    # pad_px would make the biased roll amount negative / beyond the slab
+    # and wrap rolled content back into the kept lanes (same guard as
+    # shear_rows_logrouted / rotate_3shear_batched)
+    ki = jnp.clip(jnp.floor(shifts), -pad_px, pad_px)
+    k = ((ki + pad_px).astype(jnp.int32) * c).T.reshape(-1)  # [H*N]
     f = (shifts - jnp.floor(shifts)).astype(jnp.float32).T  # [H, N]
     # frac values ride as a VMEM input broadcast across lanes
     f_in = jnp.broadcast_to(f[:, :, None], (h, n, 128))
@@ -255,7 +260,6 @@ def shear_rows_per_image(
     return out[:, :, :wc].transpose(1, 0, 2).reshape(n, h, w, c)
 
 
-@functools.partial(jax.jit, static_argnames=("fill", "max_angle_deg"))
 def rotate_3shear_batched(
     img: jnp.ndarray, angles_deg: jnp.ndarray, fill: int = 0,
     max_angle_deg: float = 45.0,
@@ -265,9 +269,36 @@ def rotate_3shear_batched(
     One compiled executable for ANY angle vector (|angle| <= max_angle_deg,
     which sets the static padding bound). Replaces the XLA gather warp for
     the traced-angles apply_rotation path (~40x faster).
+
+    Concrete angle vectors beyond the budget raise ValueError; tracer
+    angles from an enclosing jit are CLAMPED to +-max_angle_deg — a shift
+    beyond the static padding would otherwise silently wrap rolled content
+    back into the kept region (the same guard as fused_blur_rotate_batched).
     """
+    # unjitted wrapper so the budget check sees concrete values; the jitted
+    # body below only ever sees tracers
+    if not isinstance(angles_deg, jax.core.Tracer):
+        amax = float(np.abs(np.asarray(angles_deg)).max())
+        if amax > float(max_angle_deg) + 1e-6:
+            raise ValueError(
+                f"rotate_3shear_batched: max |angle| {amax} exceeds the "
+                f"static padding budget max_angle_deg={max_angle_deg}; "
+                f"raise the budget or use the exact warp"
+            )
+    return _rotate_3shear_batched_jit(
+        img, jnp.asarray(angles_deg, jnp.float32), fill=fill,
+        max_angle_deg=max_angle_deg,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("fill", "max_angle_deg"))
+def _rotate_3shear_batched_jit(
+    img: jnp.ndarray, angles_deg: jnp.ndarray, fill: int,
+    max_angle_deg: float,
+) -> jnp.ndarray:
     n, h, w, c = img.shape
-    t = jnp.deg2rad(-jnp.asarray(angles_deg, jnp.float32))  # apply_rotation sign
+    ang = jnp.clip(angles_deg, -max_angle_deg, max_angle_deg)
+    t = jnp.deg2rad(-ang)  # apply_rotation sign
     a = -jnp.tan(t / 2.0)  # [N]
     b = jnp.sin(t)
     tmax = math.radians(max_angle_deg)
@@ -401,8 +432,6 @@ def shear_rows_logrouted(
 
     max_shift_px: static bound on |shifts| (required for traced shifts).
     """
-    import math as _math
-
     from imagetransformations_tpu.ops.pallas.rotate_gather import (
         _roll_left as _rl,
         _route_const_axis,
@@ -417,7 +446,7 @@ def shear_rows_logrouted(
             raise ValueError("traced shifts need a static max_shift_px bound")
     b_px = min(int(max_shift_px) + 1, w + 2)
     ls = _round_up(wc + c, 128)
-    nbits = max(int(_math.ceil(_math.log2(2 * b_px * c + 1))), 1)
+    nbits = max(int(math.ceil(math.log2(2 * b_px * c + 1))), 1)
     fillf = float(fill)
 
     sb = jnp.broadcast_to(
@@ -430,9 +459,13 @@ def shear_rows_logrouted(
         s = s_ref[0][:, :1]  # [h, 1]
         k = jnp.floor(s)
         f = s - k
-        # shifts beyond +-(w+1) are all-fill anyway (mask below); clamping
-        # keeps the cyclic routing single-wrap for any caller input
-        ki = jnp.clip(k.astype(jnp.int32), -(w + 1), w + 1)
+        # clamp integer shifts to the declared routing budget: the biased
+        # route amount (ki + b_px)*c must stay in [0, 2*b_px*c] or its
+        # two's-complement bits select wrong rolls at positions the keep
+        # mask doesn't cover. Beyond-budget rows therefore SATURATE at
+        # +-b_px (a contract violation degrades to a clamped shear, never
+        # to garbage); b_px caps at w+2, where the mask is all-fill anyway
+        ki = jnp.clip(k.astype(jnp.int32), -b_px, b_px)
         xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [h, wc]
         v = jnp.concatenate(
             [xf, jnp.full((h, ls - wc), fillf)], axis=1

@@ -253,6 +253,58 @@ def test_traced_angle_megakernel_matches_static(rng):
             assert err.max() <= 1, (stream, a, err.max())
 
 
+def test_traced_stream_nongray_zero_angle_uses_rint(rng):
+    """Per-image quantization semantics in the traced STREAM non-gray
+    kernel: an angle-0 image in the batch streams blur-only and must
+    quantize with rint like the static kernel / oracle (fast_warp.py:160)
+    — not the post-shear trunc (which floors ~half the blurred pixels 1 LSB
+    low and previously went undetected because the only traced-vs-static
+    test used grayscale_out=True)."""
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_batched,
+    )
+
+    imgs = rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8)
+    angles = np.asarray([0.0, 12.0], np.float32)
+    out = np.asarray(
+        fused_blur_rotate_batched(
+            jnp.asarray(imgs), 1.5, jnp.asarray(angles),
+            grayscale_out=False, stream=True,
+        )
+    )
+    for i, a in enumerate(angles):
+        ref = ofw.fused_stream_chain(imgs[i : i + 1], 1.5, float(a))
+        diff = out[i : i + 1].astype(int) - ref.astype(int)
+        assert np.abs(diff).max() <= 1, (a, np.abs(diff).max())
+        # trunc-instead-of-rint flips ~50% of pixels; f32 boundary noise
+        # flips a few per mille at most
+        assert (diff != 0).mean() < 0.05, (a, (diff != 0).mean())
+
+
+def test_gray1_megakernel_nonzero_fill_margin_exact(rng):
+    """The gray1 kernels fold the shear fill margin in BEFORE the vertical
+    blur pass; the margin must still equal EXACT fill afterwards (fill *
+    sum(f32 taps) != fill — regression for the pre-blur margin fold), so
+    the fill=255 stream chain stays within the standard gate vs the
+    oracle, which pads shears with exact fill after the blur."""
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_image,
+    )
+
+    imgs = rng.integers(0, 256, (1, 64, 48, 3), dtype=np.uint8)
+    out = np.asarray(
+        fused_blur_rotate_image(
+            jnp.asarray(imgs), 1.5, 15.0, fill=255,
+            grayscale_out=True, stream=True,
+        )
+    )
+    ref = ofw.fused_stream_chain(imgs, 1.5, 15.0, grayscale_out=True, fill=255)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1 and (err > 0).mean() <= 0.001, (
+        err.max(), (err > 0).mean()
+    )
+
+
 def test_fast_compile_chain_matches_stream_oracle(rng):
     """build_chain_fn(fast_compile=True) runs a pure fused-stage chain as
     a host-side call into the traced kernel's own jit — output must match

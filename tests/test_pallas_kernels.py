@@ -154,6 +154,51 @@ def test_shear_rows_logrouted_beyond_canvas_is_fill(rng):
     assert (out == 255).all()
 
 
+def test_shear_rows_logrouted_beyond_budget_saturates(rng):
+    """Shifts beyond the DECLARED max_shift_px bound saturate at the
+    routing budget (b_px = bound+1) instead of routing two's-complement
+    garbage bits: a contract violation degrades to a clamped shear. Rows
+    within the bound are untouched."""
+    from imagetransformations_tpu.oracle import fast_warp as ofw
+    from imagetransformations_tpu.ops.pallas.shear import shear_rows_logrouted
+
+    imgs = rng.integers(0, 256, (1, 16, 24, 3), dtype=np.uint8)
+    shifts = np.zeros((1, 16), np.float32)
+    shifts[0, :8] = 3.0    # in budget
+    shifts[0, 8:] = -12.0  # violates max_shift_px=4 (b_px = 5)
+    out = np.asarray(
+        shear_rows_logrouted(
+            jnp.asarray(imgs), jnp.asarray(shifts), fill=255, max_shift_px=4
+        )
+    )
+    sat = shifts.copy()
+    sat[0, 8:] = -5.0  # the saturated shift
+    ref = ofw.shear_rows(imgs, sat[0], fill=255)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_rotate_3shear_batched_budget_edges(rng):
+    """Concrete angle vectors beyond max_angle_deg raise ValueError;
+    tracer angles from an enclosing jit clamp to the budget instead of
+    wrapping rolled content into the kept region."""
+    import jax
+
+    from imagetransformations_tpu.ops.pallas.shear import rotate_3shear_batched
+
+    img = rng.integers(0, 256, (1, 32, 24, 3), dtype=np.uint8)
+    x = jnp.asarray(img)
+    with pytest.raises(ValueError, match="padding budget"):
+        rotate_3shear_batched(x, jnp.asarray([50.0]), max_angle_deg=45.0)
+
+    ref = ofw.rotate_3shear(img, 45.0)
+    clamped = np.asarray(
+        jax.jit(lambda v, a: rotate_3shear_batched(v, a))(
+            x, jnp.asarray([50.0], jnp.float32)
+        )
+    )
+    np.testing.assert_array_equal(clamped, ref)
+
+
 def test_zoom_bilinear_batched_matches_random_zoom(rng):
     """Gather-free separable zoom with traced per-image factors vs the
     affine bilinear warp (<=1 LSB: XLA-CPU FMA contraction on boundaries)."""
