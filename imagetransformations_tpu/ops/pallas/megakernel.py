@@ -496,14 +496,74 @@ def _shear_pass_traced(v, kcol, f_col, lane_unit, bias, nbits, quantize):
     return _quant_trunc(out) if quantize else out
 
 
+def _shear_pass_traced_grouped(
+    v, res_col, f_col, c_ref, ci, gh, lane_unit, bias_r, nbits_r, quantize
+):
+    """Grouped traced shear: Mosaic's tpu.dynamic_rotate (pltpu.roll with a
+    RUNTIME shift) costs ~1-2 VPU passes, not log2(range) — measured in
+    tools/probe_dynamic_rotate.py. So instead of log-routing the full
+    per-row shift range (log2(2*budget) roll+select pairs), rows are cut
+    into static groups of ``gh``: each group gets ONE dynamic roll by its
+    per-image group-center shift (all groups together touch the slab once),
+    and only the small within-group residual (<= slope*gh/2 + 2) is
+    log-routed — nbits_r ~ log2(slope*gh) levels instead of
+    log2(2*slope*rows/2).
+
+    res_col: [rows, 1] i32 residual shifts (kcol - coarse per group).
+    c_ref / ci: VMEM ref holding per-group RIGHT-roll lane amounts
+    (precomputed in the wrapper as (lane_size - coarse*lane_unit) mod
+    lane_size, so they are non-negative) and its leading index.
+    """
+    nbr = _roll_left(v, lane_unit)
+    ler = v + f_col * (nbr - v)
+    rows = ler.shape[0]
+    parts = []
+    for gi, g0 in enumerate(range(0, rows, gh)):
+        g1 = min(g0 + gh, rows)
+        parts.append(pltpu.roll(ler[g0:g1, :], c_ref[ci, gi, 0], axis=1))
+    ler = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    ler = _roll_left(ler, -bias_r * lane_unit)
+    out = _route_rows(ler, res_col + bias_r, lane_unit, nbits_r)
+    return _quant_trunc(out) if quantize else out
+
+
+#: row-group height for the grouped traced shears (see
+#: _shear_pass_traced_grouped). 0 disables grouping (pure log routing).
+_TRACED_GROUP_ROWS = 16
+
+
+def _grouped_params(rows: int, slope_max: float, gh: int, nbits_full: int):
+    """Static residual budget for grouped routing, or None when grouping
+    cannot beat the full log route (tiny slabs / tiny budgets).
+
+    |res(y)| = |floor(s*(y-c)) - floor(s*(ym-c))| <= floor(smax*dy)+1 with
+    dy = max |y - ym| <= ceil((gh-1)/2); +1 extra slack for f32 rounding of
+    the two products."""
+    if gh <= 0 or rows <= gh:
+        return None
+    dy = (gh - 1 + 1) // 2  # ceil((gh-1)/2)
+    bres = int(math.floor(slope_max * dy)) + 2
+    nbits_r = max(int(math.ceil(math.log2(2 * bres + 1))), 1)
+    if nbits_r >= nbits_full:
+        return None
+    mids = np.asarray(
+        [g0 + (min(gh, rows - g0) - 1) // 2 for g0 in range(0, rows, gh)],
+        np.int32,
+    )
+    gidx = np.repeat(
+        np.arange(len(mids), dtype=np.int32),
+        [min(gh, rows - g0) for g0 in range(0, rows, gh)],
+    )
+    return bres, nbits_r, mids, gidx
+
+
 def _mega_traced_gray1_kernel(
     x_ref,
-    k1_ref,   # [1, h, 128] i32 pass-1/3 integer shifts
+    k1_ref,   # [1, h, 128] i32 pass-1/3 integer shifts (RESIDUALS when grp)
     f1_ref,   # [1, h, 128] f32 pass-1/3 fracs
-    k2p_ref,  # [1, w, 128] i32 pass-2 PIXEL shifts
+    k2p_ref,  # [1, w, 128] i32 pass-2 PIXEL shifts (RESIDUALS when grp)
     f2p_ref,  # [1, w, 128] f32 pass-2 PIXEL fracs
-    o_ref,
-    *,
+    *rest,    # [c1_ref [1,G1,128], c2_ref [1,G2,128] when grp], o_ref
     h: int,
     wc: int,
     c: int,
@@ -515,10 +575,21 @@ def _mega_traced_gray1_kernel(
     bias2: int,
     nbits2: int,
     fill: int,
+    grp: tuple[int, int, int, int, int] | None = None,
 ):
     """Traced-angle variant of _mega_gray1_kernel: exact integer luma ->
     stream blur -> 3 log-routed shears, all on the single luma plane.
-    Identical structure; shifts/fracs are per-image inputs."""
+    Identical structure; shifts/fracs are per-image inputs.
+
+    With ``grp`` = (gh, bias_r1, nbits_r1, bias_r2, nbits_r2) the shears use
+    grouped routing (_shear_pass_traced_grouped): k1/k2p inputs hold the
+    within-group RESIDUAL shifts and c1/c2 the per-group dynamic right-roll
+    amounts — cuts the dominant roll+select levels ~2x."""
+    if grp is None:
+        (o_ref,) = rest
+    else:
+        c1_ref, c2_ref, o_ref = rest
+        gh, bias_r1, nbits_r1, bias_r2, nbits_r2 = grp
     fillf = float(fill)
     w = wc // c
     bv = _luma_blur_front(x_ref, h, wc, c, lsx, taps, fillf)  # [h, lsx]
@@ -528,15 +599,22 @@ def _mega_traced_gray1_kernel(
     k2c = k2p_ref[0, :, :1]
     f2c = f2p_ref[0, :, :1]
 
-    s1 = _shear_pass_traced(bv, k1c, f1c, 1, bias1, nbits1, False)
+    if grp is None:
+        sp1 = lambda v: _shear_pass_traced(v, k1c, f1c, 1, bias1, nbits1, False)
+        sp2 = lambda v: _shear_pass_traced(v, k2c, f2c, 1, bias2, nbits2, False)
+    else:
+        sp1 = lambda v: _shear_pass_traced_grouped(
+            v, k1c, f1c, c1_ref, 0, gh, 1, bias_r1, nbits_r1, False
+        )
+        sp2 = lambda v: _shear_pass_traced_grouped(
+            v, k2c, f2c, c2_ref, 0, gh, 1, bias_r2, nbits_r2, False
+        )
+
+    s1 = sp1(bv)
     s1w = jnp.concatenate([s1[:, :w], jnp.full((ls2 - h, w), fillf)], axis=0)
-    s2 = _shear_pass_traced(
-        jnp.swapaxes(s1w, 0, 1), k2c, f2c, 1, bias2, nbits2, False
-    )
+    s2 = sp2(jnp.swapaxes(s1w, 0, 1))
     s2w = jnp.concatenate([s2[:, :h], jnp.full((lsx - w, h), fillf)], axis=0)
-    s3 = _shear_pass_traced(
-        jnp.swapaxes(s2w, 0, 1), k1c, f1c, 1, bias1, nbits1, False
-    )
+    s3 = sp1(jnp.swapaxes(s2w, 0, 1))
     v = (s3[:, :w] + 0.5).astype(jnp.int32)
     vt = jnp.swapaxes(v, 0, 1)
     vi = jnp.stack([vt, vt, vt], axis=1).reshape(wc, h)
@@ -749,12 +827,44 @@ def _fused_blur_rotate_batched_jit(
         # single-luma-channel back half (see _mega_gray1_kernel): the three
         # log-routed shears and their transposes run on 1/3 the data
         lsx = _round_up(w + px + 2, 128)
+        gh = _TRACED_GROUP_ROWS
+        g1p = _grouped_params(h, math.tan(tm / 2.0), gh, nbits1)
+        g2p = _grouped_params(w, math.sin(tm), gh, nbits2)
+        k1i = k1.astype(jnp.int32)   # [n, h]
+        k2i = k2px.astype(jnp.int32)  # [n, w]
+        extra_specs, extra_args = [], []
+        if g1p is not None and g2p is not None:
+            bres1, nbits_r1, mids1, gidx1 = g1p
+            bres2, nbits_r2, mids2, gidx2 = g2p
+            c1v = k1i[:, mids1]                       # [n, G1] coarse shifts
+            c2v = k2i[:, mids2]                       # [n, G2]
+            r1 = k1i - c1v[:, gidx1]                  # within-group residuals
+            r2 = k2i - c2v[:, gidx2]
+            # per-group dynamic RIGHT-roll amounts (roll_left by coarse)
+            cr1 = (lsx - c1v) % lsx
+            cr2 = (ls2 - c2v) % ls2
+            grp = (gh, bres1, nbits_r1, bres2, nbits_r2)
+            k1_in, k2_in = r1, r2
+            ng1, ng2 = len(mids1), len(mids2)
+            extra_specs = [
+                pl.BlockSpec((1, ng1, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ng2, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            extra_args = [
+                jnp.broadcast_to(cr1[:, :, None], (n, ng1, 128)),
+                jnp.broadcast_to(cr2[:, :, None], (n, ng2, 128)),
+            ]
+        else:
+            grp = None
+            k1_in, k2_in = k1i, k2i
         out = pl.pallas_call(
             functools.partial(
                 _mega_traced_gray1_kernel,
                 h=h, wc=wc, c=c, lsx=lsx, ls2=ls2, taps=taps,
                 bias1=bias1, nbits1=nbits1, bias2=bias2, nbits2=nbits2,
-                fill=fill,
+                fill=fill, grp=grp,
             ),
             out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
             grid=(n,),
@@ -764,7 +874,7 @@ def _fused_blur_rotate_batched_jit(
                 pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + extra_specs,
             out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
@@ -773,10 +883,11 @@ def _fused_blur_rotate_batched_jit(
             interpret=_interpret(),
         )(
             img.reshape(n, h, wc),
-            jnp.broadcast_to(k1.astype(jnp.int32)[:, :, None], (n, h, 128)),
+            jnp.broadcast_to(k1_in[:, :, None], (n, h, 128)),
             jnp.broadcast_to(f1[:, :, None], (n, h, 128)),
-            jnp.broadcast_to(k2px.astype(jnp.int32)[:, :, None], (n, w, 128)),
+            jnp.broadcast_to(k2_in[:, :, None], (n, w, 128)),
             jnp.broadcast_to((sy - k2px)[:, :, None], (n, w, 128)),
+            *extra_args,
         )
         return out.reshape(n, h, w, c)
 

@@ -253,6 +253,45 @@ def test_traced_angle_megakernel_matches_static(rng):
             assert err.max() <= 1, (stream, a, err.max())
 
 
+def test_traced_grouped_routing_ragged_and_budget_edge(rng):
+    """Grouped traced routing (_shear_pass_traced_grouped): row counts NOT
+    divisible by the group height leave a ragged tail group, and the exact
+    budget angle (22.5) drives the largest coarse shifts + residuals — both
+    must stay <=1 LSB vs the stream oracle. Also pins the ungrouped
+    fallback (_TRACED_GROUP_ROWS=0) to identical outputs."""
+    from imagetransformations_tpu.ops.pallas import megakernel as mk
+
+    imgs = rng.integers(0, 256, (2, 40, 56, 3), dtype=np.uint8)
+    angles = np.asarray([22.5, -22.5], np.float32)
+    out = np.asarray(
+        mk.fused_blur_rotate_batched(
+            jnp.asarray(imgs), 1.5, jnp.asarray(angles),
+            grayscale_out=True, stream=True,
+        )
+    )
+    for i, a in enumerate(angles):
+        ref = ofw.fused_stream_chain(
+            imgs[i : i + 1], 1.5, float(a), grayscale_out=True
+        )
+        err = np.abs(out[i : i + 1].astype(int) - ref.astype(int))
+        assert err.max() <= 1, (a, err.max())
+
+    old = mk._TRACED_GROUP_ROWS
+    mk._TRACED_GROUP_ROWS = 0
+    try:
+        mk._fused_blur_rotate_batched_jit.clear_cache()
+        ungrouped = np.asarray(
+            mk.fused_blur_rotate_batched(
+                jnp.asarray(imgs), 1.5, jnp.asarray(angles),
+                grayscale_out=True, stream=True,
+            )
+        )
+    finally:
+        mk._TRACED_GROUP_ROWS = old
+        mk._fused_blur_rotate_batched_jit.clear_cache()
+    np.testing.assert_array_equal(out, ungrouped)
+
+
 def test_traced_stream_nongray_zero_angle_uses_rint(rng):
     """Per-image quantization semantics in the traced STREAM non-gray
     kernel: an angle-0 image in the batch streams blur-only and must
