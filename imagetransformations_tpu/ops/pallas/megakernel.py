@@ -629,8 +629,7 @@ def _mega_traced_kernel(
     f2_ref,  # [1, wc, 128] f32 pass-2 fracs
     id_ref,  # [1, h, 128] i32 per-image flag: 1 iff angle == 0
     g_ref,  # [3, wc] f32 grayscale constants (see _grayscale_rows)
-    o_ref,
-    *,
+    *rest,   # [c1_ref [1,G1,128], c2_ref [1,G2,128] when grp], o_ref
     h: int,
     wc: int,
     c: int,
@@ -644,9 +643,16 @@ def _mega_traced_kernel(
     fill: int,
     grayscale_out: bool,
     stream: bool,
+    grp: tuple[int, int, int, int, int] | None = None,
 ):
     """Traced-per-image-angle variant of _mega_kernel: identical blur /
-    margin / transpose structure, shear shifts from per-image inputs."""
+    margin / transpose structure, shear shifts from per-image inputs.
+    With ``grp`` the shears use grouped routing (see
+    _shear_pass_traced_grouped); k1/k2 inputs then hold RESIDUAL shifts."""
+    if grp is None:
+        (o_ref,) = rest
+    else:
+        c1_ref, c2_ref, o_ref = rest
     fillf = float(fill)
     w = wc // c
 
@@ -696,15 +702,29 @@ def _mega_traced_kernel(
     k2c = k2_ref[0, :, :1]
     f2c = f2_ref[0, :, :1]
 
-    s1 = _shear_pass_traced(content, k1c, f1c, c, bias1, nbits1, not stream)
+    if grp is None:
+        sp1 = lambda v: _shear_pass_traced(
+            v, k1c, f1c, c, bias1, nbits1, not stream
+        )
+        sp2 = lambda v: _shear_pass_traced(
+            v, k2c, f2c, 1, bias2, nbits2, not stream
+        )
+    else:
+        gh, bias_r1, nbits_r1, bias_r2, nbits_r2 = grp
+        # pass 2 rows are channel-interleaved (c rows per pixel): group at
+        # PIXEL granularity -> gh*c interleaved rows per group
+        sp1 = lambda v: _shear_pass_traced_grouped(
+            v, k1c, f1c, c1_ref, 0, gh, c, bias_r1, nbits_r1, not stream
+        )
+        sp2 = lambda v: _shear_pass_traced_grouped(
+            v, k2c, f2c, c2_ref, 0, gh * c, 1, bias_r2, nbits_r2, not stream
+        )
+
+    s1 = sp1(content)
     s1w = jnp.concatenate([s1[:, :wc], jnp.full((ls2 - h, wc), fillf)], axis=0)
-    s2 = _shear_pass_traced(
-        jnp.swapaxes(s1w, 0, 1), k2c, f2c, 1, bias2, nbits2, not stream
-    )
+    s2 = sp2(jnp.swapaxes(s1w, 0, 1))
     s2w = jnp.concatenate([s2[:, :h], jnp.full((ls1 - wc, h), fillf)], axis=0)
-    s3 = _shear_pass_traced(
-        jnp.swapaxes(s2w, 0, 1), k1c, f1c, c, bias1, nbits1, not stream
-    )
+    s3 = sp1(jnp.swapaxes(s2w, 0, 1))
     out = s3[:, :wc]
     if grayscale_out:
         out = _grayscale_rows(out, g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :])
@@ -893,9 +913,40 @@ def _fused_blur_rotate_batched_jit(
 
     gv = _gray_constants(wc)
 
-    k1b = jnp.broadcast_to(k1.astype(jnp.int32)[:, :, None], (n, h, 128))
+    gh = _TRACED_GROUP_ROWS
+    g1p = _grouped_params(h, math.tan(tm / 2.0), gh, nbits1)
+    g2p = _grouped_params(w, math.sin(tm), gh, nbits2)
+    k1i = k1.astype(jnp.int32)    # [n, h]
+    k2pxi = k2px.astype(jnp.int32)  # [n, w] pixel shifts
+    extra_specs, extra_args = [], []
+    if g1p is not None and g2p is not None:
+        bres1, nbits_r1, mids1, gidx1 = g1p
+        bres2, nbits_r2, mids2, gidx2 = g2p
+        c1v = k1i[:, mids1]                    # [n, G1] coarse pixel shifts
+        c2v = k2pxi[:, mids2]                  # [n, G2]
+        k1_in = k1i - c1v[:, gidx1]            # [n, h] residuals
+        k2_in = jnp.repeat(k2pxi - c2v[:, gidx2], c, axis=1)  # [n, wc]
+        cr1 = (ls1 - c1v * c) % ls1            # right-roll lanes (unit=c)
+        cr2 = (ls2 - c2v) % ls2
+        grp = (gh, bres1, nbits_r1, bres2, nbits_r2)
+        ng1, ng2 = len(mids1), len(mids2)
+        extra_specs = [
+            pl.BlockSpec((1, ng1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        extra_args = [
+            jnp.broadcast_to(cr1[:, :, None], (n, ng1, 128)),
+            jnp.broadcast_to(cr2[:, :, None], (n, ng2, 128)),
+        ]
+    else:
+        grp = None
+        k1_in, k2_in = k1i, k2
+
+    k1b = jnp.broadcast_to(k1_in[:, :, None], (n, h, 128))
     f1b = jnp.broadcast_to(f1[:, :, None], (n, h, 128))
-    k2b = jnp.broadcast_to(k2[:, :, None], (n, wc, 128))
+    k2b = jnp.broadcast_to(k2_in[:, :, None], (n, wc, 128))
     f2b = jnp.broadcast_to(f2[:, :, None], (n, wc, 128))
     idb = jnp.broadcast_to(
         (t == 0.0).astype(jnp.int32)[:, None, None], (n, h, 128)
@@ -905,7 +956,7 @@ def _fused_blur_rotate_batched_jit(
             _mega_traced_kernel,
             h=h, wc=wc, c=c, ls1=ls1, ls2=ls2, taps=taps,
             bias1=bias1, nbits1=nbits1, bias2=bias2, nbits2=nbits2,
-            fill=fill, grayscale_out=grayscale_out, stream=stream,
+            fill=fill, grayscale_out=grayscale_out, stream=stream, grp=grp,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
         grid=(n,),
@@ -917,12 +968,13 @@ def _fused_blur_rotate_batched_jit(
             pl.BlockSpec((1, wc, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(img.reshape(n, h, wc), k1b, f1b, k2b, f2b, idb, jnp.asarray(gv))
+    )(img.reshape(n, h, wc), k1b, f1b, k2b, f2b, idb, jnp.asarray(gv),
+      *extra_args)
     return out.reshape(n, h, w, c)
 
 

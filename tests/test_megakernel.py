@@ -276,6 +276,19 @@ def test_traced_grouped_routing_ragged_and_budget_edge(rng):
         err = np.abs(out[i : i + 1].astype(int) - ref.astype(int))
         assert err.max() <= 1, (a, err.max())
 
+    # the non-gray kernel groups pass 2 at PIXEL granularity (gh*c
+    # interleaved rows per group) — cover it on the same ragged shape
+    out_ng = np.asarray(
+        mk.fused_blur_rotate_batched(
+            jnp.asarray(imgs), 1.5, jnp.asarray(angles),
+            grayscale_out=False, stream=True,
+        )
+    )
+    for i, a in enumerate(angles):
+        ref = ofw.fused_stream_chain(imgs[i : i + 1], 1.5, float(a))
+        err = np.abs(out_ng[i : i + 1].astype(int) - ref.astype(int))
+        assert err.max() <= 1, ("nongray", a, err.max())
+
     old = mk._TRACED_GROUP_ROWS
     mk._TRACED_GROUP_ROWS = 0
     try:
@@ -286,10 +299,17 @@ def test_traced_grouped_routing_ragged_and_budget_edge(rng):
                 grayscale_out=True, stream=True,
             )
         )
+        ungrouped_ng = np.asarray(
+            mk.fused_blur_rotate_batched(
+                jnp.asarray(imgs), 1.5, jnp.asarray(angles),
+                grayscale_out=False, stream=True,
+            )
+        )
     finally:
         mk._TRACED_GROUP_ROWS = old
         mk._fused_blur_rotate_batched_jit.clear_cache()
     np.testing.assert_array_equal(out, ungrouped)
+    np.testing.assert_array_equal(out_ng, ungrouped_ng)
 
 
 def test_traced_stream_nongray_zero_angle_uses_rint(rng):
