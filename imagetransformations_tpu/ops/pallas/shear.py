@@ -285,32 +285,20 @@ def rotate_3shear_batched(
                 f"static padding budget max_angle_deg={max_angle_deg}; "
                 f"raise the budget or use the exact warp"
             )
-    return _rotate_3shear_batched_jit(
-        img, jnp.asarray(angles_deg, jnp.float32), fill=fill,
-        max_angle_deg=max_angle_deg,
+    # delegate to the traced megakernel at radius=0: identical per-pass
+    # u8-trunc semantics (oracle fast_warp.rotate_3shear), but the whole
+    # 3-shear chain stays VMEM-resident with grouped dynamic_rotate routing
+    # — the previous 3x shear_rows_per_image path paid two HBM round-trips,
+    # two XLA u8 transposes, and one-sublane-per-dynamic-roll VPU
+    # utilization (import here: megakernel imports this module at top)
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_batched,
     )
 
-
-@functools.partial(jax.jit, static_argnames=("fill", "max_angle_deg"))
-def _rotate_3shear_batched_jit(
-    img: jnp.ndarray, angles_deg: jnp.ndarray, fill: int,
-    max_angle_deg: float,
-) -> jnp.ndarray:
-    n, h, w, c = img.shape
-    ang = jnp.clip(angles_deg, -max_angle_deg, max_angle_deg)
-    t = jnp.deg2rad(-ang)  # apply_rotation sign
-    a = -jnp.tan(t / 2.0)  # [N]
-    b = jnp.sin(t)
-    tmax = math.radians(max_angle_deg)
-    pad_x = int(math.ceil(math.tan(tmax / 2.0) * (h / 2.0 + 0.5))) + 1
-    pad_y = int(math.ceil(math.sin(tmax) * (w / 2.0 + 0.5))) + 1
-    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0
-    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - w / 2.0
-    sx = a[:, None] * ys[None, :]  # [N, H]
-    sy = b[:, None] * xs[None, :]  # [N, W]
-    x1 = shear_rows_per_image(img, sx, fill, pad_px=pad_x)
-    x2 = shear_rows_per_image(x1.transpose(0, 2, 1, 3), sy, fill, pad_px=pad_y)
-    return shear_rows_per_image(x2.transpose(0, 2, 1, 3), sx, fill, pad_px=pad_x)
+    return fused_blur_rotate_batched(
+        img, 0.0, angles_deg, fill=fill, grayscale_out=False, stream=False,
+        max_angle_deg=float(max_angle_deg),
+    )
 
 
 def _paeth_params(angle_deg: float) -> tuple[float, float]:
