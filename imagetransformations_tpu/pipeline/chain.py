@@ -244,7 +244,7 @@ def build_chain_fn(
     IS the chain; there is nothing else to fuse). Chains with additional
     surrounding ops fall back to the normal fused build (fast_compile is
     a no-op there — sharing is impossible once the outer trace bakes the
-    constant in). Throughput cost ~0.6-0.7x (sustained ~8.5 vs 14.0
+    constant in). Throughput cost ~0.6-0.75x (sustained 8.4-10.4 vs 14.0
     Gpix/s at 512 — PERF.md 'traced-angle band note').
     Device-side f32 shift computation may flip measure-zero truncation
     boundaries by <=1 LSB vs the host-shift static kernel (same budget as
