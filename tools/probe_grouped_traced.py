@@ -58,7 +58,11 @@ def main() -> None:
     x = jnp.asarray(rng.integers(0, 256, (N, H, W, 3), dtype=np.uint8))
     ang = jnp.asarray(np.linspace(-22.5, 22.5, N, dtype=np.float32))
     out = []
-    for gh in (0, 16, 0, 16, 32):
+    gh_list = (
+        tuple(int(g) for g in sys.argv[1:]) if len(sys.argv) > 1
+        else (0, 16, 0, 16, 32)
+    )
+    for gh in gh_list:
         r = bench_setting(gh, x, ang)
         print(json.dumps(r))
         out.append(r)
