@@ -44,10 +44,13 @@ def _interpret() -> bool:
 
 
 def _pass_kernel(x_ref, o_ref, *, p: int):
-    # one "effective pass" = roll + FMA, the megakernel's dominant op mix
+    # one "effective pass" = roll + FMA, the megakernel's dominant op mix.
+    # Bounded mix (convex combination): values stay finite across the whole
+    # op_throughput scan — the old v + roll(v)*0.5 grew ~1.5x per pass and
+    # overflowed to inf partway through the measurement (ADVICE r3).
     v = x_ref[0]
     for j in range(p):
-        v = v + pltpu.roll(v, 1 + j, axis=1) * 0.5
+        v = v * 0.5 + pltpu.roll(v, 1 + j, axis=1) * 0.5
     o_ref[0] = v
 
 
@@ -87,7 +90,7 @@ def main() -> None:
         got = np.asarray(_run_shape(2, 16, 256, True)(jnp.asarray(x)))
         want = x.copy()
         for j in range(P):
-            want = want + np.roll(want, 1 + j, axis=2) * np.float32(0.5)
+            want = want * np.float32(0.5) + np.roll(want, 1 + j, axis=2) * np.float32(0.5)
         assert np.allclose(got, want, rtol=1e-6), "pass-chain semantics"
         print("smoke OK")
         return
