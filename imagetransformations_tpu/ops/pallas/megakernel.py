@@ -88,6 +88,11 @@ def _interpret() -> bool:
 _UNALIGNED_LUMA_U8 = False
 _U8_OUTPUT_STORE = False
 
+#: packed gray1 kernel: run pass 2 as grouped rolls + exact static residual
+#: route instead of per-run rolls (whose count multiplies by the lane-pack
+#: factor). A/B'd on the real chip (tools/probe_packed_gray1.py).
+_PACKED_PASS2_GROUPED = False
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -472,6 +477,276 @@ def _mega_gray1_kernel(
     _store_lane_interleaved(o_ref, vi)
 
 
+def _pack_factors(n: int, h: int, w: int) -> tuple[int, int]:
+    """(lane_pack, sublane_pack) for the packed gray1 kernel.
+
+    Probe-driven (tools/probe_lane_tiles.py + probe_packed_gray1.py on
+    v5e, round 4): a full-slab VPU pass at 224 lanes (1.75 tiles) costs
+    6.20 us/Mpix vs 2.40 at 896 lanes (7 exact tiles), and the packed
+    kernel measured 0.81 -> 227 Gpix/s at 32x32 (batch 256) and
+    3.36 -> 27.6 at 64x64 — tiny per-image slabs are per-op-overhead
+    bound, and packing amortizes every full-slab op across P images.
+    At 224x224 and up, however, packing is a WASH or a loss end-to-end,
+    so it is scoped to h < 128:
+
+    - 224 (batch 128, stable ~60 ms windows, tools/probe_packed_224.py
+      round 4): packed per-run 12.09 vs unpacked 12.13 Gpix/s; packed
+      grouped-pass-2 11.07/11.77. The stage bisect
+      (tools/probe_224_bisect.py) predicted a packed win (shears 2.53 ->
+      0.60 us/image), but pass 2's per-run rolls multiply by P_l and the
+      pack/unpack concats eat the rest. NOTE the earlier official 9.6 at
+      224 was a MEASUREMENT artifact: a k=24 scan window (~14 ms) sits
+      below the ~30 ms RPC floor — identical configs read 9.2-21.1 until
+      the window was raised to ~60 ms (k=96), where unpacked sustains
+      ~12.1.
+    - 512: packed (2,1) 12.46 / (4,1) 12.72 vs unpacked ~14 (probe
+      round 4) — the alignment win doesn't exist (512 is already exact
+      tiles) and the concats only cost.
+    """
+    if h >= 128:
+        return 1, 1
+    # CIFAR-class sweep on chip (batch 2048): (8,4) 4.89, (8,8) 5.08,
+    # (16,8) 5.04, (16,4) 3.92 Gpix/s — deeper sublane stacking amortizes
+    # per-grid-step overhead; (8,8) is the plateau
+    return 8, (256 // h if 256 % h == 0 else (128 // h if 128 % h == 0 else 1))
+
+
+def _mega_gray1_packed_kernel(
+    x_ref,
+    f1_ref,   # [P_s*h, 128] f32 pass-1/3 lerp fracs (tiled per sub-image)
+    f2p_ref,  # [P_l*csz, 128] f32 pass-2 PIXEL fracs (csz-padded, tiled)
+    *rest,    # [k2r_ref [P_l*csz,128], c2_ref [1,G2,128] when grp2], o_ref
+    h: int,
+    wc: int,
+    c: int,
+    packl: int,  # images packed along lanes
+    packs: int,  # images packed along sublanes
+    csz: int,   # x-compartment lane width (>= w + px + 2, 128-multiple)
+    csz_y: int, # y-compartment lane width (>= h + py + 2; P_s*csz_y 128-mult)
+    taps: tuple[float, ...],
+    runs1: tuple[tuple[int, int, int], ...],  # tiled per js (stride h)
+    runs2: tuple[tuple[int, int, int], ...],  # tiled per jl (stride csz,
+                                              # last run extended to csz)
+    fill: int,
+    grp2: tuple[int, int, int] | None = None,  # (gh, bias_r, nbits_r):
+    # pass 2 via grouped rolls — one roll per gh-row group + an exact
+    # static residual route, instead of per-run rolls whose count
+    # multiplies by packl (the run pattern repeats per lane compartment)
+    front: str = "u8packed",  # "u8packed" | "i32perimg" — see below
+):
+    """Multi-image-packed variant of _mega_gray1_kernel: P = packl*packs images
+    share ONE slab per stage — image jl occupies lanes [jl*csz, jl*csz+w)
+    (x direction) and image js rows [js*h, (js+1)*h) (y direction), with
+    per-compartment fill margins. Every slab's lane width is an exact
+    128-multiple, killing the 2.6x misaligned-lane penalty at 224/32-class
+    shapes, and each VPU op covers P images (per-op overhead amortized).
+
+    Bit-exact per image vs _mega_gray1_kernel / the stream oracle: the
+    compartment-cyclic roll wrap reproduces the single-image pad semantics
+    — a negative-shift wrap lands in the PREVIOUS compartment's fill
+    margin, and that margin's lerp partner is THIS compartment's first
+    content lane, which is exactly the oracle's lerp(fill, v[0], f) left
+    edge. Margin widths (px+2 / py+2) guarantee shear reads never touch
+    the one wrap-lerp-polluted lane at each compartment boundary (same
+    +2 slack the single-image slabs rely on).
+    """
+    if grp2 is None:
+        (o_ref,) = rest
+        k2r_ref = c2_ref = None
+    else:
+        k2r_ref, c2_ref, o_ref = rest
+    fillf = float(fill)
+    w = wc // c
+    p = (len(taps) - 1) // 2
+
+    def tap_sum_x(lum_img):
+        # per-image X blur, reflect-101 pads (sublane slices)
+        if not p:
+            return lum_img
+        rows = lum_img.shape[0]
+        xpad = jnp.concatenate(
+            [lum_img[i : i + 1] for i in range(p, 0, -1)]
+            + [lum_img]
+            + [lum_img[rows - 2 - i : rows - 1 - i] for i in range(p)],
+            axis=0,
+        )
+        acc = taps[p] * xpad[p : p + rows]
+        for t in range(p):
+            acc = acc + taps[t] * (
+                xpad[t : t + rows] + xpad[2 * p - t : 2 * p - t + rows]
+            )
+        return acc
+
+    if front == "i32perimg":
+        # Per-image i32 front, packed only from the shear slab on: the 224
+        # bisect (tools/probe_224_bisect.py) measured the per-image
+        # cast->transpose->split->luma->X-blur front at 0.40 us/image vs
+        # 2.9-3.2 for the u8-packed-transpose front — Mosaic's 32-bit
+        # transpose is fast even at misaligned lanes, while the u8
+        # transpose+split is emulated expensively. Packing still wins the
+        # shear half 4.2x (rolls ARE misalignment/overhead-bound), so pack
+        # at the bxw concat, one transpose materializes the packed slab.
+        assert packs == 1, "i32perimg front is the h >= 128 path"
+        parts = []
+        for jl in range(packl):
+            xi = jnp.swapaxes(x_ref[jl].astype(jnp.int32), 0, 1)  # [wc, h]
+            xr = xi.reshape(w, c, h)
+            lum_i = (xr[:, 1, :] * 38470 + xr[:, 0, :] * 19595) + xr[:, 2, :] * 7471
+            lum = lum_i.astype(jnp.float32) * jnp.float32(1.0 / 65536.0)
+            parts.append(tap_sum_x(lum))  # [w, h]
+            parts.append(jnp.full((csz - w, h), fillf))
+        bxw = jnp.concatenate(parts, axis=0)  # [packl*csz, h]
+        ta = jnp.swapaxes(bxw, 0, 1)  # [h, packl*csz]
+        hp0 = h
+    else:
+        # ---- pack input (lanes per jl, rows per js), ONE u8 transpose ----
+        rows_u8 = []
+        for js in range(packs):
+            if packl > 1:
+                rows_u8.append(
+                    jnp.concatenate(
+                        [x_ref[js * packl + jl] for jl in range(packl)], axis=1
+                    )
+                )
+            else:
+                rows_u8.append(x_ref[js])
+        xu = jnp.concatenate(rows_u8, axis=0) if packs > 1 else rows_u8[0]
+        hp0 = _round_up(packs * h, 128)
+        if hp0 != packs * h:
+            xu = jnp.concatenate(
+                [xu, jnp.zeros((hp0 - packs * h, packl * wc), jnp.uint8)], axis=0
+            )
+        xt = jnp.swapaxes(xu, 0, 1)  # [packl*wc, hp0] u8 (1/4-cost relayout)
+        xr = xt.reshape(packl * w, c, hp0)  # lanes hp0 128-mult BY CONSTRUCTION
+        r_i = xr[:, 0, :].astype(jnp.int32)
+        g_i = xr[:, 1, :].astype(jnp.int32)
+        b_i = xr[:, 2, :].astype(jnp.int32)
+        lum_i = (g_i * 38470 + r_i * 19595) + b_i * 7471
+        lum = lum_i.astype(jnp.float32) * jnp.float32(1.0 / 65536.0)  # [packl*w, hp0]
+
+        # ---- X blur (sublane taps, per-jl reflect pads, stride trick) ----
+        if p:
+            stride = w + 2 * p
+            pieces = []
+            for jl in range(packl):
+                b0 = jl * w
+                pieces += [lum[b0 + i : b0 + i + 1] for i in range(p, 0, -1)]
+                pieces.append(lum[b0 : b0 + w])
+                pieces += [lum[b0 + w - 2 - i : b0 + w - 1 - i] for i in range(p)]
+            xpadh = jnp.concatenate(pieces, axis=0)  # [packl*stride, hp0]
+            ln = packl * stride - 2 * p
+
+            def at(t):
+                return xpadh[t : t + ln]
+
+            acc = taps[p] * at(p)
+            for t in range(p):
+                acc = acc + taps[t] * (at(t) + at(2 * p - t))
+            src, sstride = acc, stride  # content rows at jl*stride + [0, w)
+        else:
+            src, sstride = lum, w
+
+        # ---- layout A (rows=(js,y), lanes=(jl,x)), fresh x-margins -------
+        parts = []
+        for jl in range(packl):
+            parts.append(src[jl * sstride : jl * sstride + w])
+            parts.append(jnp.full((csz - w, hp0), fillf))
+        bxw = jnp.concatenate(parts, axis=0)  # [packl*csz, hp0]
+        ta = jnp.swapaxes(bxw, 0, 1)  # [hp0, packl*csz]
+        if hp0 != packs * h:
+            ta = ta[: packs * h]
+
+    # ---- Y blur (sublane taps, per-js reflect pads) ------------------------
+    if p:
+        pieces = []
+        for js in range(packs):
+            b0 = js * h
+            pieces += [ta[b0 + i : b0 + i + 1] for i in range(p, 0, -1)]
+            pieces.append(ta[b0 : b0 + h])
+            pieces += [ta[b0 + h - 2 - i : b0 + h - 1 - i] for i in range(p)]
+        xpadv = jnp.concatenate(pieces, axis=0)
+        stride2 = h + 2 * p
+        ln2 = packs * stride2 - 2 * p
+
+        def at2(t):
+            return xpadv[t : t + ln2]
+
+        accv = taps[p] * at2(p)
+        for t in range(p):
+            accv = accv + taps[t] * (at2(t) + at2(2 * p - t))
+        if packs > 1:
+            bv = jnp.concatenate(
+                [accv[js * stride2 : js * stride2 + h] for js in range(packs)],
+                axis=0,
+            )
+        else:
+            bv = accv  # ln2 == h when packs == 1
+    else:
+        bv = ta
+    if fillf != 0.0:
+        # blurred margins hold fill*sum(taps) != exactly fill; restore (the
+        # fill == 0 fast path blurs margins to exactly 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, packl * csz), 1)
+        bv = jnp.where(lane % csz < w, bv, fillf)
+
+    # ---- 3 shears on the packed luma plane --------------------------------
+    f1c = f1_ref[:, :1]
+    f2c = f2p_ref[:, :1]
+    s1 = _shear_pass(bv, runs1, f1c, 1, quantize=False)  # [packs*h, packl*csz]
+    if packs > 1 or csz_y != h:
+        sparts = []
+        for js in range(packs):
+            sparts.append(s1[js * h : (js + 1) * h])
+            if csz_y - h:
+                sparts.append(jnp.full((csz_y - h, packl * csz), fillf))
+        s1w = jnp.concatenate(sparts, axis=0)  # [packs*csz_y, packl*csz]
+    else:
+        s1w = s1
+    if grp2 is None:
+        s2 = _shear_pass(
+            jnp.swapaxes(s1w, 0, 1), runs2, f2c, 1, quantize=False
+        )  # [packl*csz, packs*csz_y]
+    else:
+        # pass-2 shifts are still STATIC — they arrive as materialized
+        # columns so one grouped roll (+ exact residual route) replaces
+        # the packl-times-repeated per-run roll list
+        gh2, bias_r2, nbits_r2 = grp2
+        s2 = _shear_pass_traced_grouped(
+            jnp.swapaxes(s1w, 0, 1), k2r_ref[:, :1], f2c, c2_ref, 0,
+            gh2, 1, bias_r2, nbits_r2, False,
+        )
+    tb = jnp.swapaxes(s2, 0, 1)  # [packs*csz_y, packl*csz]
+    if packs > 1:
+        tb = jnp.concatenate(
+            [tb[js * csz_y : js * csz_y + h] for js in range(packs)], axis=0
+        )
+    elif csz_y != h:
+        tb = tb[:h]
+    # passes 1-2 rolled content into the x-margins; scrub back to fill so
+    # pass 3's compartment wraps read fill again (the single-image kernel
+    # does this by re-concatenating fresh margins each pass)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, packl * csz), 1)
+    s3in = jnp.where(lane % csz < w, tb, fillf)
+    s3 = _shear_pass(s3in, runs1, f1c, 1, quantize=False)
+
+    # ---- single final quantization + per-image u8 stores -------------------
+    v = (s3 + 0.5).astype(jnp.int32)  # [packs*h, packl*csz]
+    hp2 = _round_up(packs * h, 128)
+    if hp2 != packs * h:
+        v = jnp.concatenate(
+            [v, jnp.zeros((hp2 - packs * h, packl * csz), jnp.int32)], axis=0
+        )
+    tv = jnp.swapaxes(v, 0, 1)  # [packl*csz, hp2]
+    vi = jnp.stack([tv, tv, tv], axis=1).reshape(3 * packl * csz, hp2)
+    big = jnp.swapaxes(vi, 0, 1)  # [hp2, 3*packl*csz]; lane slices below are
+    # 128-aligned because csz % 128 == 0 -> 3*csz % 384 == 0
+    for js in range(packs):
+        for jl in range(packl):
+            o_ref[js * packl + jl] = big[
+                js * h : js * h + h, jl * 3 * csz : jl * 3 * csz + wc
+            ].astype(jnp.uint8)
+
+
 def _route_rows(v, amt, unit, nbits):
     """out[r, l] = v[r, l + (amt_r)*unit] (cyclic) where ``amt`` [rows, 1]
     is a NON-NEGATIVE per-row lane shift (< 2**nbits), constant along
@@ -522,27 +797,44 @@ def _shear_pass_traced_grouped(
         g1 = min(g0 + gh, rows)
         parts.append(pltpu.roll(ler[g0:g1, :], c_ref[ci, gi, 0], axis=1))
     ler = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    ler = _roll_left(ler, -bias_r * lane_unit)
+    # the static -bias_r pre-roll is FOLDED into the per-group roll amounts
+    # by every caller (cr = (L - (coarse - bias_r)*unit) % L), saving one
+    # full slab pass per shear; the residual route still adds bias_r so its
+    # shifts stay non-negative
     out = _route_rows(ler, res_col + bias_r, lane_unit, nbits_r)
     return _quant_trunc(out) if quantize else out
 
 
 #: row-group height for the grouped traced shears (see
 #: _shear_pass_traced_grouped). 0 disables grouping (pure log routing).
-_TRACED_GROUP_ROWS = 16
+#: With the tight residual bound the route needs (pass1, pass2) bits
+#: (2,2) at gh=4 / (2,3) at gh=8 / (3,4) at gh=16 for the 22.5-degree
+#: budget. Real-chip A/B (tools/probe_traced_gh.py, round 4): gh=8 wins
+#: — 10.5 Gpix/s vs 9.3 (gh=4; 128 roll slices/pass cost more than the
+#: saved route level) and 9.2 (gh=16) — all three bitwise-identical to
+#: the ungrouped log route on chip. Pass 2's slope (sin theta ~= 2 tan
+#: theta/2) doubles pass 1's, so its group height is SEPARATE: gh2=4
+#: keeps pass 2 at a 2-bit route where gh=8 needs 3.
+_TRACED_GROUP_ROWS = 8
+_TRACED_GROUP_ROWS2 = 4
 
 
 def _grouped_params(rows: int, slope_max: float, gh: int, nbits_full: int):
     """Static residual budget for grouped routing, or None when grouping
     cannot beat the full log route (tiny slabs / tiny budgets).
 
-    |res(y)| = |floor(s*(y-c)) - floor(s*(ym-c))| <= floor(smax*dy)+1 with
-    dy = max |y - ym| <= ceil((gh-1)/2); +1 extra slack for f32 rounding of
-    the two products."""
+    |res(y)| = |floor(sx_y) - floor(sx_ym)| <= floor(|sx_y - sx_ym|) + 1
+    (the floor-difference bound), with |sx_y - sx_ym| <= smax*dy + 2*eps:
+    dy = max |y - ym| <= ceil((gh-1)/2), and eps bounds the f32 rounding
+    of each product sx = fl(a*ys) (|a*ys| <= 51.2 at the 22.5-deg budget
+    for h <= 512 -> eps <= 3.1e-6; the 1e-4 epsilon below covers h into
+    the tens of thousands). Round 3 used a +2 slack here — one full extra
+    roll+select level per shear at gh<=8; the tight bound is what makes
+    gh=4 pay (VERDICT r4 item 2)."""
     if gh <= 0 or rows <= gh:
         return None
     dy = (gh - 1 + 1) // 2  # ceil((gh-1)/2)
-    bres = int(math.floor(slope_max * dy)) + 2
+    bres = int(math.floor(slope_max * dy + 1e-4)) + 1
     nbits_r = max(int(math.ceil(math.log2(2 * bres + 1))), 1)
     if nbits_r >= nbits_full:
         return None
@@ -575,21 +867,23 @@ def _mega_traced_gray1_kernel(
     bias2: int,
     nbits2: int,
     fill: int,
-    grp: tuple[int, int, int, int, int] | None = None,
+    grp: tuple[int, int, int, int, int, int] | None = None,
 ):
     """Traced-angle variant of _mega_gray1_kernel: exact integer luma ->
     stream blur -> 3 log-routed shears, all on the single luma plane.
     Identical structure; shifts/fracs are per-image inputs.
 
-    With ``grp`` = (gh, bias_r1, nbits_r1, bias_r2, nbits_r2) the shears use
-    grouped routing (_shear_pass_traced_grouped): k1/k2p inputs hold the
-    within-group RESIDUAL shifts and c1/c2 the per-group dynamic right-roll
-    amounts — cuts the dominant roll+select levels ~2x."""
+    With ``grp`` = (gh1, gh2, bias_r1, nbits_r1, bias_r2, nbits_r2) the
+    shears use grouped routing (_shear_pass_traced_grouped): k1/k2p inputs
+    hold the within-group RESIDUAL shifts and c1/c2 the per-group dynamic
+    right-roll amounts — cuts the dominant roll+select levels ~2x. The
+    group height is PER PASS: pass 2's slope (sin theta) is ~2x pass 1's
+    (tan theta/2), so it needs a smaller group for the same route depth."""
     if grp is None:
         (o_ref,) = rest
     else:
         c1_ref, c2_ref, o_ref = rest
-        gh, bias_r1, nbits_r1, bias_r2, nbits_r2 = grp
+        gh1, gh2, bias_r1, nbits_r1, bias_r2, nbits_r2 = grp
     fillf = float(fill)
     w = wc // c
     bv = _luma_blur_front(x_ref, h, wc, c, lsx, taps, fillf)  # [h, lsx]
@@ -604,10 +898,10 @@ def _mega_traced_gray1_kernel(
         sp2 = lambda v: _shear_pass_traced(v, k2c, f2c, 1, bias2, nbits2, False)
     else:
         sp1 = lambda v: _shear_pass_traced_grouped(
-            v, k1c, f1c, c1_ref, 0, gh, 1, bias_r1, nbits_r1, False
+            v, k1c, f1c, c1_ref, 0, gh1, 1, bias_r1, nbits_r1, False
         )
         sp2 = lambda v: _shear_pass_traced_grouped(
-            v, k2c, f2c, c2_ref, 0, gh, 1, bias_r2, nbits_r2, False
+            v, k2c, f2c, c2_ref, 0, gh2, 1, bias_r2, nbits_r2, False
         )
 
     s1 = sp1(bv)
@@ -643,7 +937,7 @@ def _mega_traced_kernel(
     fill: int,
     grayscale_out: bool,
     stream: bool,
-    grp: tuple[int, int, int, int, int] | None = None,
+    grp: tuple[int, int, int, int, int, int] | None = None,
 ):
     """Traced-per-image-angle variant of _mega_kernel: identical blur /
     margin / transpose structure, shear shifts from per-image inputs.
@@ -710,14 +1004,14 @@ def _mega_traced_kernel(
             v, k2c, f2c, 1, bias2, nbits2, not stream
         )
     else:
-        gh, bias_r1, nbits_r1, bias_r2, nbits_r2 = grp
+        gh1, gh2, bias_r1, nbits_r1, bias_r2, nbits_r2 = grp
         # pass 2 rows are channel-interleaved (c rows per pixel): group at
-        # PIXEL granularity -> gh*c interleaved rows per group
+        # PIXEL granularity -> gh2*c interleaved rows per group
         sp1 = lambda v: _shear_pass_traced_grouped(
-            v, k1c, f1c, c1_ref, 0, gh, c, bias_r1, nbits_r1, not stream
+            v, k1c, f1c, c1_ref, 0, gh1, c, bias_r1, nbits_r1, not stream
         )
         sp2 = lambda v: _shear_pass_traced_grouped(
-            v, k2c, f2c, c2_ref, 0, gh * c, 1, bias_r2, nbits_r2, not stream
+            v, k2c, f2c, c2_ref, 0, gh2 * c, 1, bias_r2, nbits_r2, not stream
         )
 
     s1 = sp1(content)
@@ -847,9 +1141,9 @@ def _fused_blur_rotate_batched_jit(
         # single-luma-channel back half (see _mega_gray1_kernel): the three
         # log-routed shears and their transposes run on 1/3 the data
         lsx = _round_up(w + px + 2, 128)
-        gh = _TRACED_GROUP_ROWS
-        g1p = _grouped_params(h, math.tan(tm / 2.0), gh, nbits1)
-        g2p = _grouped_params(w, math.sin(tm), gh, nbits2)
+        gh1, gh2 = _TRACED_GROUP_ROWS, _TRACED_GROUP_ROWS2
+        g1p = _grouped_params(h, math.tan(tm / 2.0), gh1, nbits1)
+        g2p = _grouped_params(w, math.sin(tm), gh2, nbits2)
         k1i = k1.astype(jnp.int32)   # [n, h]
         k2i = k2px.astype(jnp.int32)  # [n, w]
         extra_specs, extra_args = [], []
@@ -860,10 +1154,12 @@ def _fused_blur_rotate_batched_jit(
             c2v = k2i[:, mids2]                       # [n, G2]
             r1 = k1i - c1v[:, gidx1]                  # within-group residuals
             r2 = k2i - c2v[:, gidx2]
-            # per-group dynamic RIGHT-roll amounts (roll_left by coarse)
-            cr1 = (lsx - c1v) % lsx
-            cr2 = (ls2 - c2v) % ls2
-            grp = (gh, bres1, nbits_r1, bres2, nbits_r2)
+            # per-group dynamic RIGHT-roll amounts: roll_left by coarse,
+            # with the route's static -bias_r pre-roll folded in (one slab
+            # pass saved per shear — see _shear_pass_traced_grouped)
+            cr1 = (lsx - c1v + bres1) % lsx
+            cr2 = (ls2 - c2v + bres2) % ls2
+            grp = (gh1, gh2, bres1, nbits_r1, bres2, nbits_r2)
             k1_in, k2_in = r1, r2
             ng1, ng2 = len(mids1), len(mids2)
             extra_specs = [
@@ -913,9 +1209,9 @@ def _fused_blur_rotate_batched_jit(
 
     gv = _gray_constants(wc)
 
-    gh = _TRACED_GROUP_ROWS
-    g1p = _grouped_params(h, math.tan(tm / 2.0), gh, nbits1)
-    g2p = _grouped_params(w, math.sin(tm), gh, nbits2)
+    gh1, gh2 = _TRACED_GROUP_ROWS, _TRACED_GROUP_ROWS2
+    g1p = _grouped_params(h, math.tan(tm / 2.0), gh1, nbits1)
+    g2p = _grouped_params(w, math.sin(tm), gh2, nbits2)
     k1i = k1.astype(jnp.int32)    # [n, h]
     k2pxi = k2px.astype(jnp.int32)  # [n, w] pixel shifts
     extra_specs, extra_args = [], []
@@ -926,9 +1222,10 @@ def _fused_blur_rotate_batched_jit(
         c2v = k2pxi[:, mids2]                  # [n, G2]
         k1_in = k1i - c1v[:, gidx1]            # [n, h] residuals
         k2_in = jnp.repeat(k2pxi - c2v[:, gidx2], c, axis=1)  # [n, wc]
-        cr1 = (ls1 - c1v * c) % ls1            # right-roll lanes (unit=c)
-        cr2 = (ls2 - c2v) % ls2
-        grp = (gh, bres1, nbits_r1, bres2, nbits_r2)
+        # right-roll lanes (unit=c for pass 1), -bias_r pre-roll folded in
+        cr1 = (ls1 - (c1v - bres1) * c) % ls1
+        cr2 = (ls2 - c2v + bres2) % ls2
+        grp = (gh1, gh2, bres1, nbits_r1, bres2, nbits_r2)
         ng1, ng2 = len(mids1), len(mids2)
         extra_specs = [
             pl.BlockSpec((1, ng1, 128), lambda i: (i, 0, 0),
@@ -1047,6 +1344,117 @@ def fused_blur_rotate_image(
         runs2p = tuple(_runs(k2px))
         f2p = (sy - np.floor(sy)).astype(np.float32)
         lsx = _round_up(w + px + 2, 128)
+
+        pkl, pks = _pack_factors(n, h, w)
+        npack = pkl * pks
+        if npack > 1 and n % npack == 0:
+            # multi-image packed kernel: npack images share each slab with
+            # per-compartment margins — every lane width an exact
+            # 128-multiple (see _mega_gray1_packed_kernel / _pack_factors)
+            csz = lsx
+            csz_y = h + py + 2
+            while (pks * csz_y) % 128:
+                csz_y += 1
+            runs1_t = tuple(
+                (js * h + r0, js * h + r1, k)
+                for js in range(pks)
+                for (r0, r1, k) in runs1
+            )
+            # extend each jl's last run over the x-margin junk rows (their
+            # value is irrelevant; they are scrubbed back to fill pre-pass-3)
+            r2ext = list(runs2p)
+            r2ext[-1] = (r2ext[-1][0], csz, r2ext[-1][2])
+            runs2_t = tuple(
+                (jl * csz + r0, jl * csz + r1, k)
+                for jl in range(pkl)
+                for (r0, r1, k) in r2ext
+            )
+            f1_t = np.tile(f1, pks)  # [pks*h]
+            f2_pad = np.zeros(csz, np.float32)
+            f2_pad[:w] = f2p
+            f2_t = np.tile(f2_pad, pkl)  # [pkl*csz]
+            grp2 = None
+            extra_specs: list = []
+            extra_args: list = []
+            if _PACKED_PASS2_GROUPED:
+                # pass-2 per-run rolls repeat per lane compartment (xP_l);
+                # replace them with ONE roll per 16-row group + an EXACT
+                # static residual route (shifts are static, so the residual
+                # bound needs no slack)
+                gh2 = 16  # divides csz (128-multiple): groups never straddle
+                rows2 = pkl * csz
+                k2_ext = np.zeros(csz, np.int64)
+                k2_ext[:w] = k2px
+                k2_ext[w:] = k2px[-1]
+                k2_rows = np.tile(k2_ext, pkl)
+                g2n = rows2 // gh2
+                mids2 = np.arange(g2n) * gh2 + (gh2 - 1) // 2
+                coarse2 = k2_rows[mids2]
+                res2 = (k2_rows - np.repeat(coarse2, gh2)).astype(np.int32)
+                bres2 = int(np.abs(res2).max())
+                nbits_r2 = (
+                    max(int(math.ceil(math.log2(2 * bres2 + 1))), 1)
+                    if bres2
+                    else 0
+                )
+                lanes2 = pks * csz_y
+                # -bias_r pre-roll folded into the group rolls (see
+                # _shear_pass_traced_grouped)
+                cr2 = ((lanes2 - coarse2 + bres2) % lanes2).astype(np.int32)
+                grp2 = (gh2, bres2, nbits_r2)
+                extra_specs = [
+                    pl.BlockSpec((rows2, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, g2n, 128), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]
+                extra_args = [
+                    jnp.broadcast_to(
+                        jnp.asarray(res2)[:, None], (rows2, 128)
+                    ),
+                    jnp.broadcast_to(
+                        jnp.asarray(cr2)[None, :, None], (1, g2n, 128)
+                    ),
+                ]
+            out = pl.pallas_call(
+                functools.partial(
+                    _mega_gray1_packed_kernel,
+                    h=h, wc=wc, c=c, packl=pkl, packs=pks, csz=csz, csz_y=csz_y,
+                    taps=taps, runs1=runs1_t, runs2=runs2_t, fill=fill,
+                    grp2=grp2,
+                    front="i32perimg" if pks == 1 and h >= 128 else "u8packed",
+                ),
+                out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
+                grid=(n // npack,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (npack, h, wc), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (pks * h, 128), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (pkl * csz, 128), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ] + extra_specs,
+                out_specs=pl.BlockSpec(
+                    (npack, h, wc), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024
+                ),
+                interpret=_interpret(),
+            )(
+                xp,
+                jnp.broadcast_to(jnp.asarray(f1_t)[:, None], (pks * h, 128)),
+                jnp.broadcast_to(jnp.asarray(f2_t)[:, None], (pkl * csz, 128)),
+                *extra_args,
+            )
+            return out.reshape(n, h, w, c)
         out = pl.pallas_call(
             functools.partial(
                 _mega_gray1_kernel,

@@ -511,3 +511,94 @@ def test_fast_compile_spec_subset_of_match_mega(rng):
         assert consumed == len(chain), chain  # whole-chain match only
         assert bound is None, chain  # static angle => no routing bound
         assert (radius, angle, gray) == (radius_fc, angle_fc, gray_fc), chain
+
+
+@pytest.mark.parametrize(
+    "shape,radius,angle,fill",
+    [
+        ((8, 224, 224), 1.5, 15.0, 0),    # 224-class: (4,1), i32perimg front
+        ((8, 224, 224), 0.0, -9.3, 0),    # no blur
+        ((8, 224, 224), 1.0, 22.5, 3),    # nonzero fill: margin restore+scrubs
+        ((64, 32, 32), 1.5, 15.0, 0),     # CIFAR-class: (8,8), u8packed front
+        ((32, 64, 64), 2.0, 30.0, 0),     # (8,4)
+        ((8, 160, 192), 2.0, 11.0, 0),    # ragged 224-class
+    ],
+)
+def test_packed_gray1_matches_oracle_and_unpacked(rng, shape, radius, angle, fill):
+    """The multi-image-packed gray1 kernel (_mega_gray1_packed_kernel) is
+    bit-identical per image to the single-image kernel and the stream
+    oracle: compartment-cyclic roll wraps reproduce the single-image pad
+    semantics exactly (probe-validated 0 LSB on the real chip; on XLA CPU
+    the known FMA-contraction artifact flips <=1 LSB on ~1e-5 of pixels).
+
+    h >= 128 shapes FORCE the packed path (production scopes packing to
+    h < 128 — a perf wash at 224/512, tools/probe_packed_224.py — but the
+    (4,1)/i32perimg-front kernel variant stays parity-covered here)."""
+    import imagetransformations_tpu.ops.pallas.megakernel as mk
+
+    n, h, w = shape
+    orig = mk._pack_factors
+    if h >= 128:
+        mk._pack_factors = lambda nn, hh, ww: (4, 1)
+        fused_blur_rotate_image.clear_cache()
+    try:
+        pkl, pks = mk._pack_factors(n, h, w)
+        assert pkl * pks > 1 and n % (pkl * pks) == 0  # packed path engages
+        imgs = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        out = np.asarray(
+            fused_blur_rotate_image(
+                jnp.asarray(imgs), radius, angle, fill=fill,
+                grayscale_out=True, stream=True,
+            )
+        )
+    finally:
+        mk._pack_factors = orig
+        fused_blur_rotate_image.clear_cache()
+    ref = ofw.fused_stream_chain(
+        imgs, radius, angle, fill=fill, grayscale_out=True
+    )
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1
+    assert (err > 0).mean() <= 1e-4
+
+
+def test_packed_gray1_grouped_pass2_parity(rng):
+    """The grouped-pass-2 variant (_PACKED_PASS2_GROUPED) must match the
+    per-run default bit-for-bit (same lerp; only the roll routing differs)."""
+    import imagetransformations_tpu.ops.pallas.megakernel as mk
+
+    imgs = rng.integers(0, 256, (8, 224, 224, 3), dtype=np.uint8)
+    ref = ofw.fused_stream_chain(imgs, 1.5, 15.0, grayscale_out=True)
+    old = mk._PACKED_PASS2_GROUPED
+    orig_pf = mk._pack_factors
+    try:
+        mk._PACKED_PASS2_GROUPED = True
+        mk._pack_factors = lambda nn, hh, ww: (4, 1)  # force packing at 224
+        fused_blur_rotate_image.clear_cache()
+        out = np.asarray(
+            fused_blur_rotate_image(
+                jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True
+            )
+        )
+    finally:
+        mk._PACKED_PASS2_GROUPED = old
+        mk._pack_factors = orig_pf
+        fused_blur_rotate_image.clear_cache()
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1
+    assert (err > 0).mean() <= 1e-4
+
+
+def test_pack_factors_skip_odd_batches(rng):
+    """A batch not divisible by the pack count must fall back to the
+    single-image kernel and still match the oracle (32x32 packs 8x8=64;
+    batch 3 is not divisible)."""
+    imgs = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    out = np.asarray(
+        fused_blur_rotate_image(
+            jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True
+        )
+    )
+    ref = ofw.fused_stream_chain(imgs, 1.5, 15.0, grayscale_out=True)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 1
