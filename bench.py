@@ -72,6 +72,13 @@ def parity_check() -> float:
     # the strict PIL-parity path: NEAREST rotation uses f32 coords on device,
     # which flips floor() on measure-zero boundary pixels vs PIL's f64 — gate
     # on the FRACTION of differing pixels instead of max error there
+    # the CIFAR-shape packed kernel (8x8 images per slab) gates against the
+    # same stream oracle — exercised by the gpix_32_cifar metric below
+    imgs32 = rng.integers(0, 256, (64, 32, 32, 3), dtype=np.uint8)
+    out32 = np.asarray(fn(jnp.asarray(imgs32)))
+    ref32 = ofw.fused_stream_chain(imgs32, RADIUS, ANGLE, grayscale_out=True)
+    err32 = int(np.abs(out32.astype(int) - ref32.astype(int)).max())
+    assert err32 <= 1, f"packed CIFAR kernel parity {err32} LSB"
     fn_strict = build_chain_fn(chain, strict_parity=True)
     outs = np.asarray(fn_strict(jnp.asarray(imgs)))
     ref_s = np.stack(
@@ -157,9 +164,13 @@ def main() -> None:
             print(f"extra metric failed: {e!r}", file=sys.stderr)
             return -1.0
 
-    # ImageNet shape: the megakernel has no alignment gates, so 224 fuses too
+    # ImageNet shape: the megakernel has no alignment gates, so 224 fuses too.
+    # k=96: at batch 128 each call is only ~6.4 Mpix (~0.6 ms), so a k=24
+    # window (~14 ms) sits BELOW the ~30 ms RPC floor and floor-estimate
+    # jitter swung round-3/4 readings 11 -> 21 Gpix/s; ~60 ms windows are
+    # stable (same lesson as the k=12 traced note below, one shape smaller)
     gpix224 = extra(
-        lambda: timed_gpix(128 // max(len(jax.devices()), 1), 224, 224, k=24)
+        lambda: timed_gpix(128 // max(len(jax.devices()), 1), 224, 224, k=96)
     )
     # per-image TRACED angles (the reference's random-grid workload shape):
     # the log-routed fused kernel, one executable for any angle vector
@@ -173,10 +184,33 @@ def main() -> None:
             x, RADIUS, ang, grayscale_out=True, stream=True
         )
 
-    # k=24: a ~25 ms scan window — at k=12 the window is comparable to the
+    # k=48: a ~45 ms scan window — at k=12 the window is comparable to the
     # ~30 ms RPC floor and floor-estimate jitter swings the reading 25%+
     # (measured: k=12 gave 6.3-8.8 over repeats, k=24/48 tightened to 7.5-8.7)
-    gpix_traced = extra(lambda: timed_gpix(BATCH, H, W, k=24, fn=traced_fn))
+    gpix_traced = extra(lambda: timed_gpix(BATCH, H, W, k=48, fn=traced_fn))
+    # reference-exact STRICT path (VERDICT r3 item 7): the per-op-quantized
+    # megakernel (stream=False) — bit-identical to the reference's
+    # image-at-a-time blur -> rotate -> grayscale semantics
+    # (transformation.py:228-257,198-201); its 0-LSB gate runs in
+    # parity_check() and bench_kernels.py every round
+    from imagetransformations_tpu.ops.pallas.megakernel import (
+        fused_blur_rotate_image,
+    )
+
+    def strict_fn(x):
+        return fused_blur_rotate_image(
+            x, RADIUS, ANGLE, grayscale_out=True, stream=False
+        )
+
+    gpix_strict = extra(lambda: timed_gpix(BATCH, H, W, k=48, fn=strict_fn))
+    # CIFAR shape (the reference's primary data shape, every metric/sweep
+    # script): the multi-image-packed gray1 kernel — 8 lane x 8 sublane
+    # images per slab (ops/pallas/megakernel._mega_gray1_packed_kernel).
+    # batch 4096 x k=96 so the scan window (~80 ms) clears the RPC floor
+    # at this tiny per-call pixel count (4.2 Mpix/call)
+    gpix32 = extra(
+        lambda: timed_gpix(4096 // max(len(jax.devices()), 1), 32, 32, k=96)
+    )
     result = {
         "metric": "fused blur+rotate+grayscale Gpixels/s/chip (512x512 RGB)",
         "value": round(gpix, 3),
@@ -187,6 +221,8 @@ def main() -> None:
         "batch": BATCH,
         "gpix_224_imagenet": round(gpix224, 3),
         "gpix_traced_angles": round(gpix_traced, 3),
+        "gpix_strict_per_op": round(gpix_strict, 3),
+        "gpix_32_cifar": round(gpix32, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
