@@ -43,7 +43,22 @@ from imagetransformations_tpu.oracle.corruptions import (
 F32 = jnp.float32
 
 #: severity -> parameters (CIFAR-10-C recipe; index with severity-1)
-GLASS_BLUR_SEV = [(0.05, 1, 1), (0.25, 1, 1), (0.4, 1, 1), (0.25, 1, 2), (0.4, 1, 2)]
+#: Glass sigmas are CALIBRATED against the reference's real severity-1
+#: store samples (round 4): the canonical make_cifar_c value (0.05, 1, 1)
+#: measurably does NOT reproduce them — a faithful sequential-swap rerun
+#: of that recipe gives residual std 28.4 / hf_ratio 1.64 vs the real
+#: samples' 21.97 / 1.125 (tools/corruption_fidelity.py), i.e. the real
+#: data is smoother than the published recipe by an extra sigma ~0.33
+#: stage. Fitting sigma_1 to the real samples gives 0.33 (ours: resid
+#: 21.8, hf 1.11, PSNR-vs-real 21.3 up from 18.8). Severities 2-5 (no
+#: ground truth on disk) compose the quadrature-corrected sigmas
+#: (sqrt(0.25^2+0.33^2) ~= 0.41, sqrt(0.4^2+0.33^2) ~= 0.52) with GROWING
+#: displacement (iterations, then max_delta — the ImageNet-C convention)
+#: because extra smoothing alone partially REPAIRS shuffle damage and
+#: breaks monotone classifier degradation (measured: the sigma-only
+#: ladder rebounds +0.09 agreement sev2->3; this one is monotone with
+#: rebound 0.04 and total drop 0.16 on the pretrained-ResNet-56 gate).
+GLASS_BLUR_SEV = [(0.33, 1, 1), (0.41, 1, 2), (0.52, 1, 3), (0.52, 2, 1), (0.52, 2, 2)]
 FOG_SEV = [(0.2, 3.0), (0.5, 3.0), (0.75, 2.5), (1.0, 2.0), (1.5, 1.75)]
 FROST_SEV = [(1.0, 0.2), (1.0, 0.3), (0.9, 0.4), (0.85, 0.4), (0.75, 0.45)]
 #: (loc, scale, zoom, thresh, mb_radius, mb_sigma, blend); severity 1 is

@@ -100,11 +100,29 @@ def test_weather_family_statistics_match_real(fidelity_stats):
         assert 0.5 * r <= o <= 2.0 * r, (name, r, o)
 
 
+def test_defocus_matches_real_deconfounded(fidelity_stats):
+    """Severity-1 CIFAR-10-C defocus is a near-delta disk PSF — the raw
+    real residual (7.35) is almost entirely jpeg-q80 base-approximation
+    error (~7.7 LSB, compare()'s quadrature estimate), NOT blur strength
+    (VERDICT r3 item 6). Two tight gates: (a) ours must sit within 2.5 LSB
+    of the DECONFOUNDED real residual, and (b) our output must match the
+    real sample to within base error itself (PSNR >= 28 — the same level
+    brightness/pixelate achieve, i.e. as close as the data allows)."""
+    st = fidelity_stats["defocus_blur"]
+    deconf = st["real"]["resid_std_deconf"]
+    assert abs(st["ours"]["resid_std"] - deconf) <= 2.5, (deconf, st["ours"])
+    assert st["psnr_ours_vs_real"] >= 28.0, st["psnr_ours_vs_real"]
+
+
 def test_glass_blur_within_band(fidelity_stats):
-    """Documented deviation: the vectorized gather displaces slightly more
-    than the reference's sequential swaps — gate at 2x."""
+    """Glass sigma_1 is CALIBRATED to the real store samples (the canonical
+    (0.05, 1, 1) recipe measurably mismatches them — see GLASS_BLUR_SEV).
+    Post-calibration the gates are noise-family tight."""
     st = fidelity_stats["glass_blur"]
-    assert 0.5 * st["real"]["resid_std"] <= st["ours"]["resid_std"] <= 2.0 * st["real"]["resid_std"]
+    r, o = st["real"]["resid_std"], st["ours"]["resid_std"]
+    assert 0.8 * r <= o <= 1.3 * r, (r, o)
+    assert abs(st["ours"]["hf_ratio"] - st["real"]["hf_ratio"]) <= 0.2, st
+    assert st["psnr_ours_vs_real"] >= 20.0, st["psnr_ours_vs_real"]
 
 
 def test_contrast_is_mean_preserving(fidelity_stats):

@@ -109,7 +109,21 @@ def generate_ours(bases: dict[int, np.ndarray], severity: int = 1):
 
 
 def compare(real: dict, bases: dict, ours: dict) -> dict[str, dict]:
-    """Per-corruption mean statistics for real-vs-base and ours-vs-base."""
+    """Per-corruption mean statistics for real-vs-base and ours-vs-base.
+
+    The "real" column is CONFOUNDED by base-approximation error: the clean
+    bases are the jpeg-q80 store samples, so real_resid^2 ~= true_resid^2
+    + base_err^2. ``base_error_rms`` estimates base_err in quadrature from
+    brightness (a PIL-exact near-linear op our generator reproduces
+    faithfully: base_err^2 ~= real_bright^2 - ours_bright^2 — round-4
+    estimate ~7.7 LSB RMS, consistent across brightness / defocus /
+    pixelate / gaussian_blur). Each corruption's
+    ``real.resid_std_deconf`` = sqrt(max(real^2 - base_err^2, 0)) is the
+    deconfounded target to compare ``ours.resid_std`` against — decisive
+    for weak corruptions (severity-1 defocus is a near-delta disk PSF:
+    raw real 7.35 vs ours 1.91 looked like a 4x mismatch but is ~0-2.2
+    vs 1.91 once the ~7 LSB base error is removed; VERDICT r3 item 6).
+    """
     report: dict[str, dict] = {}
     for name in ALL19:
         rs, os_, ps = [], [], []
@@ -123,6 +137,14 @@ def compare(real: dict, bases: dict, ours: dict) -> dict[str, dict]:
             "ours": {k: mean(os_, k) for k in os_[0]},
             "psnr_ours_vs_real": float(np.mean(ps)),
         }
+    br, bo = report["brightness"]["real"], report["brightness"]["ours"]
+    base_err = float(np.sqrt(max(br["resid_std"] ** 2 - bo["resid_std"] ** 2, 0.0)))
+    for name in ALL19:
+        r = report[name]["real"]
+        r["resid_std_deconf"] = float(
+            np.sqrt(max(r["resid_std"] ** 2 - base_err**2, 0.0))
+        )
+    report["base_error_rms"] = base_err
     return report
 
 
@@ -166,9 +188,13 @@ def main() -> None:
     sample_sheet(real, bases, ours, os.path.join(repo, "plots", "corruption_fidelity.png"))
     with open(os.path.join(repo, "CORRUPTION_FIDELITY.json"), "w") as f:
         json.dump(report, f, indent=1)
+    print(f"base_error_rms (jpeg-q80 approx clean): {report['base_error_rms']:.2f} LSB")
     for name, st in report.items():
+        if not isinstance(st, dict):
+            continue
         print(
-            f"{name:20s} resid_std real {st['real']['resid_std']:6.2f} ours "
+            f"{name:20s} resid_std real {st['real']['resid_std']:6.2f} "
+            f"(deconf {st['real']['resid_std_deconf']:6.2f}) ours "
             f"{st['ours']['resid_std']:6.2f} | hf real {st['real']['hf_ratio']:.2f} "
             f"ours {st['ours']['hf_ratio']:.2f} | mean_shift real "
             f"{st['real']['mean_shift']:+6.2f} ours {st['ours']['mean_shift']:+6.2f} "
