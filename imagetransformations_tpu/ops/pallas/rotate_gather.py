@@ -74,7 +74,7 @@ def _route_const_axis(v, amt, axis, unit, nbits, bias):
 
 
 def _rot_kernel(
-    m_sref,  # scalar prefetch: [n, 6] f32 inverse-map matrices
+    m_sref,  # [1, 1, 6] f32 inverse-map matrix, SMEM-blocked per grid step
     x_ref,   # [1, h, wc] u8
     xc_ref,  # [1, wc] f32 pixel-center x coords per lane (x + 0.5)
     o_ref,
@@ -91,9 +91,8 @@ def _rot_kernel(
     bias_bv: int,
     fill: int,
 ):
-    i = pl.program_id(0)
-    m0, m1, m2 = m_sref[i, 0], m_sref[i, 1], m_sref[i, 2]
-    m3, m4, m5 = m_sref[i, 3], m_sref[i, 4], m_sref[i, 5]
+    m0, m1, m2 = m_sref[0, 0, 0], m_sref[0, 0, 1], m_sref[0, 0, 2]
+    m3, m4, m5 = m_sref[0, 0, 3], m_sref[0, 0, 4], m_sref[0, 0, 5]
 
     xc = xc_ref[0:1, :]  # [1, wc]
     yc = (
@@ -313,7 +312,7 @@ def pil_rotate_nearest_batched(
     wc = w * c
     _host_bounds_check(h, w, c, float(max_angle_deg))
     m = jnp.asarray(rotation_matrix(angles_deg, w, h), jnp.float32)
-    m = jnp.broadcast_to(m.reshape(-1, 6), (n, 6))
+    m = jnp.broadcast_to(m.reshape(-1, 6), (n, 6)).reshape(n, 1, 6)
 
     kh, kv, bh_max, bits_bh, bv_max, bits_bv = _budgets(h, w, max_angle_deg)
     bias_bh = bh_max  # biased amt in [0, 2*bh_max]
@@ -321,18 +320,6 @@ def pil_rotate_nearest_batched(
 
     xcv = (np.arange(wc) // c + 0.5).astype(np.float32).reshape(1, wc)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, h, wc), lambda i, m_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, m_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, wc), lambda i, m_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
     out = pl.pallas_call(
         functools.partial(
             _rot_kernel,
@@ -341,7 +328,22 @@ def pil_rotate_nearest_batched(
             bits_bv=bits_bv, bias_bv=bias_bv, fill=fill,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
-        grid_spec=grid_spec,
+        grid=(n,),
+        in_specs=[
+            # per-step SMEM block, NOT scalar prefetch: a prefetched [n, 6]
+            # operand is lane-padded to n x 128 f32 in SMEM (1 MB limit),
+            # which overflowed at n >= ~2k (the 3,178-image sweep cells).
+            # [n, 1, 6] so the block's last two dims equal the array's
+            # (Mosaic's block-shape rule)
+            pl.BlockSpec((1, 1, 6), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(m, img.reshape(n, h, wc), jnp.asarray(xcv))
