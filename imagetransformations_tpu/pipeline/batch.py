@@ -144,6 +144,7 @@ def apply_all_transformations(
     ),
     pil_parity_scale_shear: bool = True,
     pil_parity_rotation: bool = False,
+    fused: bool = True,
 ) -> dict[str, tuple[jnp.ndarray, jnp.ndarray]]:
     """TPU equivalent of transformation.py:92-170.
 
@@ -158,15 +159,75 @@ def apply_all_transformations(
     affine zoom and shear to the log-routed fast kernel (``_shear_fast``) —
     both modes produce every one of the 8 type keys.
 
-    The WHOLE sweep (parameter draws + all 8 batched ops) runs as ONE jitted
-    dispatch: on the tunneled runtime each dispatch pays a ~30 ms RPC floor,
-    so the previous one-call-per-type structure spent ~8 floors (~0.24 s) of
-    its ~0.35 s steady-state on launch overhead alone. One executable per
-    (types, parity flags, shape) — cached in ``_apply_all_fn``.
+    ``fused=True`` (the default): the WHOLE sweep (parameter draws + all 8
+    batched ops) runs as ONE jitted dispatch — on the tunneled runtime each
+    dispatch pays a ~30 ms RPC floor, so the previous one-call-per-type
+    structure spent ~8 floors (~0.24 s) of its ~0.35 s steady-state on
+    launch overhead alone. One executable per (types, parity flags, shape),
+    cached in ``_apply_all_fn`` — but XLA compiles the combined module
+    super-linearly (~6 min cold at 32x512x512).
+
+    ``fused=False``: the cold-compile escape hatch (the reference's scripts
+    start in ~0 s, transformation.py:356-362). Parameter draws are one tiny
+    dispatch; each type then runs through its own independently-jitted op —
+    the SAME functions the fused trace inlines, so results are identical —
+    and those per-op executables are shared with every other workflow
+    (chains, corruption sweeps) that already compiled them. Steady state
+    pays ~9 RPC floors (~0.3 s/batch vs 0.05); first call compiles only the
+    ops not already cached. Use for one-shot CLI runs; keep ``fused=True``
+    for repeated sweeps.
     """
+    if not fused:
+        return _apply_all_split(
+            images, key, tuple(types),
+            bool(pil_parity_scale_shear), bool(pil_parity_rotation),
+        )
     return _apply_all_fn(
         tuple(types), bool(pil_parity_scale_shear), bool(pil_parity_rotation)
     )(images, key)
+
+
+@functools.lru_cache(maxsize=None)
+def _sample_all_fn(types: tuple[str, ...], n: int):
+    """One tiny jitted dispatch drawing every type's parameter vector with
+    the SAME key-split order as the fused trace (bitwise-identical draws)."""
+
+    def run(key):
+        keys = jax.random.split(key, 2 * len(types))
+        return {
+            t: (sample_params(keys[2 * i], t, n), keys[2 * i + 1])
+            for i, t in enumerate(types)
+        }
+
+    return jax.jit(run)
+
+
+def _apply_all_split(
+    images: jnp.ndarray,
+    key: jax.Array,
+    types: tuple[str, ...],
+    pil_parity_scale_shear: bool,
+    pil_parity_rotation: bool,
+) -> dict[str, tuple[jnp.ndarray, jnp.ndarray]]:
+    """Split-dispatch apply_all (``fused=False``): identical per-type logic
+    to ``_apply_all_fn``'s trace, executed as host-level calls into the
+    per-op jitted executables instead of one combined jit."""
+    n = images.shape[0]
+    sampled = _sample_all_fn(types, int(n))(key)
+    out: dict[str, tuple[jnp.ndarray, jnp.ndarray]] = {}
+    for t in types:
+        values, okey = sampled[t]
+        fn = _BATCHED_OPS.get(t)
+        if t == "rotation" and pil_parity_rotation:
+            results = _apply_per_value(images, "rotation_pil", values)
+        elif (t == "shear" or t == "scale") and pil_parity_scale_shear:
+            results = _apply_per_value(images, t, values)
+        elif fn is None:
+            continue
+        else:
+            results = fn(images, values, okey)
+        out[t] = (values, results)
+    return out
 
 
 @functools.lru_cache(maxsize=None)

@@ -217,7 +217,12 @@ def transform_folder(
     imgs, paths = load_folder_images(in_dir, size=size, native=native)
     if len(paths) == 0:
         return {}
-    res = apply_all_transformations(jnp.asarray(imgs), key)
+    # fused=False: a folder transform is a ONE-SHOT run — the split dispatch
+    # trades ~0.25 s/batch of RPC floors for skipping the combined
+    # executable's multi-minute cold compile (the reference's script starts
+    # in ~0 s, transformation.py:356-362), and its per-op executables are
+    # shared with chains/sweeps already compiled in the process
+    res = apply_all_transformations(jnp.asarray(imgs), key, fused=False)
     os.makedirs(out_dir, exist_ok=True)
     written = {}
     for t, (vals, arrs) in res.items():

@@ -56,5 +56,33 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def main_split() -> None:
+    """Cold + steady timing of the fused=False escape hatch. Run in a FRESH
+    process (no warmed op executables): python ... --split [--h 512]"""
+    h = 512
+    if "--h" in sys.argv:
+        h = int(sys.argv[sys.argv.index("--h") + 1])
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (32, h, h, 3), dtype=np.uint8))
+    key = jax.random.key(0)
+    t0 = time.time()
+    res = apply_all_transformations(imgs, key, fused=False)
+    float(jnp.sum(res["blur"][1][:1, :8, :8].astype(jnp.float32)))
+    cold = time.time() - t0
+    t0 = time.time()
+    reps = 5
+    for i in range(reps):
+        res = apply_all_transformations(imgs, jax.random.key(i), fused=False)
+    float(jnp.sum(res["blur"][1][:1, :8, :8].astype(jnp.float32)))
+    steady = (time.time() - t0) / reps
+    print(json.dumps({"split_cold_s": round(cold, 1),
+                      "split_steady_s": round(steady, 3), "h": h}))
+
+
+if __name__ == "__main__" and "--split" in sys.argv:
+    main_split()
+    sys.exit(0)
+
+
 if __name__ == "__main__":
     main()
