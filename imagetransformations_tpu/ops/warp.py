@@ -14,9 +14,11 @@ PIL's per-pass uint8 quantization.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from imagetransformations_tpu.core.image import as_batch, as_float, restore_layout
@@ -439,6 +441,29 @@ def pil_resize(img: jnp.ndarray, out_w: int, out_h: int, method: str = "lanczos"
 
 import functools as _functools
 
+#: apply_scale_batched formulation (all three are bit-exact vs apply_scale):
+#: "scan"  — lax.scan over images, one per-image limb-matmul program
+#:           (compile: seconds; runtime: +~ms serial; the default)
+#: "limb"  — batched 11-bit-limb f32 MXU einsums (compile: minutes)
+#: "i32"   — batched int32 einsum pair (compile: minutes, slowest)
+_SCALE_FORM = os.environ.get("ITT_SCALE_FORM", "scan")
+_SCALE_LIMB_MXU = _SCALE_FORM != "i32"
+
+
+def _limb_pass(a, mm, spec: str):
+    """One resize pass as two f32 MXU matmuls over 11-bit coefficient limbs,
+    recombined in int32 — bit-exact vs the int32 einsum: every product is
+    < 2^19 (8-bit pixel x 11-bit limb) and the ~7-tap row support keeps all
+    partial sums < 2^24, so f32 accumulation is order-independent exact
+    (verified vs int64 on the real LANCZOS canvas matrices in
+    tools/probe_scale_compile.py's CPU check)."""
+    hi = jnp.floor_divide(mm, 1 << 11).astype(jnp.float32)
+    lo = jnp.remainder(mm, 1 << 11).astype(jnp.float32)
+    af = a.astype(jnp.float32)
+    phi = jnp.einsum(spec, af, hi).astype(jnp.int32)
+    plo = jnp.einsum(spec, af, lo).astype(jnp.int32)
+    return (phi << 11) + plo
+
 
 @_functools.lru_cache(maxsize=32)
 def _scale_canvas_matrices(size: int, grid: tuple) -> np.ndarray:
@@ -484,13 +509,56 @@ def apply_scale_batched(img: jnp.ndarray, factors, grid: tuple) -> jnp.ndarray:
     gv = jnp.asarray(np.asarray(gt, np.float32))
     f = jnp.asarray(factors, F32).reshape(-1)
     idx = jnp.argmin(jnp.abs(f[:, None] - gv[None, :]), axis=1)
-    hsel = jnp.asarray(_scale_canvas_matrices(w, gt))[idx]
-    vsel = jnp.asarray(_scale_canvas_matrices(h, gt))[idx]
     half = jnp.int32(1 << (_ow.PRECISION_BITS - 1))
     xi = jnp.clip(jnp.trunc(as_float(x)), 0.0, 255.0).astype(jnp.int32)
-    t = jnp.einsum("nhwc,now->nhoc", xi, hsel, preferred_element_type=jnp.int32)
-    t = jnp.clip(jnp.right_shift(t + half, _ow.PRECISION_BITS), 0, 255)
-    o = jnp.einsum("nhwc,noh->nowc", t, vsel, preferred_element_type=jnp.int32)
+    if _SCALE_FORM == "scan":
+        # lax.scan over images: XLA compiles ONE per-image limb-matmul
+        # program reused N times instead of layout-searching the giant
+        # batched einsum, and the per-image matrix comes from a
+        # dynamic_slice into the [G, size, size] stack instead of a
+        # batched gather (jit of `mats[idx]` ALONE compiled in 86 s at
+        # 32x512x512 — the gather, not the einsum, is apply_scale_batched's
+        # dominant compile cost; tools/probe_scale_compile.py round 4).
+        # The serial MXU matmuls add only ~ms (each image's two passes are
+        # ~3 GFLOP). Same limb math as below, so bit-exact.
+        hmats = jnp.asarray(_scale_canvas_matrices(w, gt))
+        vmats = jnp.asarray(_scale_canvas_matrices(h, gt))
+
+        def body(_, args):
+            im, i = args  # [H,W,C] i32, scalar index into the grid
+            hm = jax.lax.dynamic_index_in_dim(hmats, i, keepdims=False)
+            vm = jax.lax.dynamic_index_in_dim(vmats, i, keepdims=False)
+            t1 = _limb_pass(im, hm, "hwc,ow->hoc")
+            t1 = jnp.clip(jnp.right_shift(t1 + half, _ow.PRECISION_BITS), 0, 255)
+            return None, _limb_pass(t1, vm, "hwc,oh->owc")
+
+        o = jax.lax.scan(body, None, (xi, idx))[1]
+    else:
+        # batched formulations (compile in MINUTES at 32x512x512 — the
+        # [G,size,size][idx] gather alone costs ~86 s to compile, the
+        # batched einsum pair the rest; kept for A/B and as the
+        # maximum-parallelism option for huge batches):
+        # - limb: 11-bit-limb f32 MXU einsums — bit-exact vs int32
+        #   (products < 2^19 exact in f32; ~7-tap row support keeps every
+        #   partial sum < 2^24 -> order-independent exact; verified per
+        #   grid value vs int64 in tools/probe_scale_compile.py's CPU
+        #   check); compiles ~20% faster than the int32 pair
+        #   (371 vs 467 s back-to-back in the round-4 slow-server regime)
+        # - i32: the original int32 einsum pair
+        hsel = jnp.asarray(_scale_canvas_matrices(w, gt))[idx]
+        vsel = jnp.asarray(_scale_canvas_matrices(h, gt))[idx]
+        if _SCALE_LIMB_MXU:
+            t = _limb_pass(xi, hsel, "nhwc,now->nhoc")
+            t = jnp.clip(jnp.right_shift(t + half, _ow.PRECISION_BITS), 0, 255)
+            o = _limb_pass(t, vsel, "nhwc,noh->nowc")
+        else:
+            t = jnp.einsum(
+                "nhwc,now->nhoc", xi, hsel, preferred_element_type=jnp.int32
+            )
+            t = jnp.clip(jnp.right_shift(t + half, _ow.PRECISION_BITS), 0, 255)
+            o = jnp.einsum(
+                "nhwc,noh->nowc", t, vsel, preferred_element_type=jnp.int32
+            )
     o = jnp.clip(jnp.right_shift(o + half, _ow.PRECISION_BITS), 0, 255)
     out = o.astype(jnp.uint8) if img.dtype == jnp.uint8 else o.astype(F32)
     return restore_layout(out, single)

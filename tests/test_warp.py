@@ -182,6 +182,30 @@ def test_apply_scale_batched_bit_exact_per_image(rng):
         np.testing.assert_array_equal(out[i], ref)
 
 
+def test_apply_scale_batched_all_formulations_bit_exact(rng, monkeypatch):
+    """The scan-over-images formulation (fast XLA compile, default), the
+    batched limb-f32-MXU one, and the int32-einsum one must ALL be
+    bit-exact vs apply_scale. Distinct batch sizes force a fresh trace per
+    formulation (op_jit is plain jax.jit — a same-signature call would
+    reuse another formulation's executable). The grid must be
+    f32-roundtripped so the matrices and the per-image reference calls
+    agree on int(size*factor) truncation (see the nonsquare test below)."""
+    import imagetransformations_tpu.ops.warp as wp
+
+    grid = tuple(float(np.float32(v)) for v in (0.9, 1.0, 1.2, 1.4))
+    for form, n in (("scan", 4), ("limb", 3), ("i32", 2)):
+        monkeypatch.setattr(wp, "_SCALE_FORM", form)
+        monkeypatch.setattr(wp, "_SCALE_LIMB_MXU", form != "i32")
+        imgs = rng.integers(0, 256, (n, 40, 48, 3), dtype=np.uint8)
+        vals = rng.choice(np.asarray(grid, np.float32), n)
+        out = np.asarray(
+            wp.apply_scale_batched(jnp.asarray(imgs), jnp.asarray(vals), grid)
+        )
+        for i, v in enumerate(vals):
+            ref = np.asarray(wp.apply_scale(jnp.asarray(imgs[i]), float(v)))
+            np.testing.assert_array_equal(out[i], ref, err_msg=f"form={form}")
+
+
 def test_apply_scale_batched_nonsquare(rng):
     """The resized size int(w*f) is truncation-sensitive: the grid's float
     repr must be used for BOTH the batched matrices and the reference call
