@@ -56,6 +56,27 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def main_split_per_op() -> None:
+    """Per-type cold timing of the split (fused=False) path — times each
+    type's FIRST call through _apply_all_split in isolation so the 233 s
+    split cold total can be attributed. Run in a FRESH process:
+    python ... --split-per-op [--h 512]"""
+    h = 512
+    if "--h" in sys.argv:
+        h = int(sys.argv[sys.argv.index("--h") + 1])
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (32, h, h, 3), dtype=np.uint8))
+    key = jax.random.key(0)
+    out = {}
+    for t in TYPES:
+        t0 = time.time()
+        res = apply_all_transformations(imgs, key, types=(t,), fused=False)
+        float(jnp.sum(res[t][1][:1, :8, :8].astype(jnp.float32)))
+        out[t] = round(time.time() - t0, 1)
+        print(f"{t}: split first call {out[t]:.1f} s", flush=True)
+    print(json.dumps(out))
+
+
 def main_split() -> None:
     """Cold + steady timing of the fused=False escape hatch. Run in a FRESH
     process (no warmed op executables): python ... --split [--h 512]"""
@@ -77,6 +98,11 @@ def main_split() -> None:
     steady = (time.time() - t0) / reps
     print(json.dumps({"split_cold_s": round(cold, 1),
                       "split_steady_s": round(steady, 3), "h": h}))
+
+
+if __name__ == "__main__" and "--split-per-op" in sys.argv:
+    main_split_per_op()
+    sys.exit(0)
 
 
 if __name__ == "__main__" and "--split" in sys.argv:
