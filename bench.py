@@ -184,10 +184,11 @@ def main() -> None:
             x, RADIUS, ang, grayscale_out=True, stream=True
         )
 
-    # k=48: a ~45 ms scan window — at k=12 the window is comparable to the
-    # ~30 ms RPC floor and floor-estimate jitter swings the reading 25%+
-    # (measured: k=12 gave 6.3-8.8 over repeats, k=24/48 tightened to 7.5-8.7)
-    gpix_traced = extra(lambda: timed_gpix(BATCH, H, W, k=48, fn=traced_fn))
+    # k=96: a ~75-90 ms scan window (>= 2.5x the ~30 ms RPC floor). k=12
+    # readings swung 25%+ with floor-estimate jitter (6.3-8.8 over repeats)
+    # and even k=48 (~40 ms at 0.8 ms/call) sat only ~1.3x above the floor —
+    # the same artifact class as the round-4 "9.6 at 224" diagnosis.
+    gpix_traced = extra(lambda: timed_gpix(BATCH, H, W, k=96, fn=traced_fn))
     # reference-exact STRICT path (VERDICT r3 item 7): the per-op-quantized
     # megakernel (stream=False) — bit-identical to the reference's
     # image-at-a-time blur -> rotate -> grayscale semantics
@@ -202,7 +203,7 @@ def main() -> None:
             x, RADIUS, ANGLE, grayscale_out=True, stream=False
         )
 
-    gpix_strict = extra(lambda: timed_gpix(BATCH, H, W, k=48, fn=strict_fn))
+    gpix_strict = extra(lambda: timed_gpix(BATCH, H, W, k=96, fn=strict_fn))
     # CIFAR shape (the reference's primary data shape, every metric/sweep
     # script): the multi-image-packed gray1 kernel — 8 lane x 8 sublane
     # images per slab (ops/pallas/megakernel._mega_gray1_packed_kernel).

@@ -88,11 +88,6 @@ def _interpret() -> bool:
 _UNALIGNED_LUMA_U8 = False
 _U8_OUTPUT_STORE = False
 
-#: packed gray1 kernel: run pass 2 as grouped rolls + exact static residual
-#: route instead of per-run rolls (whose count multiplies by the lane-pack
-#: factor). A/B'd on the real chip (tools/probe_packed_gray1.py).
-_PACKED_PASS2_GROUPED = False
-
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -481,80 +476,87 @@ def _pack_factors(n: int, h: int, w: int) -> tuple[int, int]:
     """(lane_pack, sublane_pack) for the packed gray1 kernel.
 
     Probe-driven (tools/probe_lane_tiles.py + probe_packed_gray1.py on
-    v5e, round 4): a full-slab VPU pass at 224 lanes (1.75 tiles) costs
-    6.20 us/Mpix vs 2.40 at 896 lanes (7 exact tiles), and the packed
-    kernel measured 0.81 -> 227 Gpix/s at 32x32 (batch 256) and
-    3.36 -> 27.6 at 64x64 — tiny per-image slabs are per-op-overhead
-    bound, and packing amortizes every full-slab op across P images.
-    At 224x224 and up, however, packing is a WASH or a loss end-to-end,
-    so it is scoped to h < 128:
+    v5e, rounds 4-5): a full-slab VPU pass at 224 lanes (1.75 tiles)
+    costs 6.20 us/Mpix vs 2.40 at 896 lanes (7 exact tiles) — tiny
+    per-image slabs are per-op-overhead bound, and packing amortizes
+    every full-slab op across P images. End-to-end at 32x32 the packed
+    kernel measured 0.81 (unpacked) -> 4.8-5.0 Gpix/s (round-4 geometry,
+    bench.py gpix_32_cifar at batch 4096 with >=2x-RPC-floor windows; an
+    earlier 227 Gpix/s reading at batch 256 x k=24 was a sub-floor scan-
+    window artifact and was purged). At 224x224 and up packing is a WASH
+    or a loss end-to-end, so it is scoped to h < 128:
 
     - 224 (batch 128, stable ~60 ms windows, tools/probe_packed_224.py
-      round 4): packed per-run 12.09 vs unpacked 12.13 Gpix/s; packed
-      grouped-pass-2 11.07/11.77. The stage bisect
-      (tools/probe_224_bisect.py) predicted a packed win (shears 2.53 ->
-      0.60 us/image), but pass 2's per-run rolls multiply by P_l and the
-      pack/unpack concats eat the rest. NOTE the earlier official 9.6 at
-      224 was a MEASUREMENT artifact: a k=24 scan window (~14 ms) sits
-      below the ~30 ms RPC floor — identical configs read 9.2-21.1 until
-      the window was raised to ~60 ms (k=96), where unpacked sustains
-      ~12.1.
+      round 4): packed per-run 12.09 vs unpacked 12.13 Gpix/s. The stage
+      bisect (tools/probe_224_bisect.py) predicted a packed win (shears
+      2.53 -> 0.60 us/image), but pass 2's per-run rolls multiply by P_l
+      and the pack/unpack concats eat the rest.
     - 512: packed (2,1) 12.46 / (4,1) 12.72 vs unpacked ~14 (probe
       round 4) — the alignment win doesn't exist (512 is already exact
       tiles) and the concats only cost.
+
+    Round 5 replaced the per-image 128-lane compartments (csz was
+    round_up(w+px+2, 128) = 128 at w=32 — 3.2x lane waste) with SUB-128
+    strides csz = round_up(w+px+2, 128//packl): the slab total stays an
+    exact 128-multiple while each image occupies only its content +
+    shear margin. Pack factors must divide 128 for that rounding. Deeper
+    packs also amortize per-grid-step overhead; the chooser takes the
+    densest candidate that divides the batch.
     """
     if h >= 128:
         return 1, 1
-    # CIFAR-class sweep on chip (batch 2048): (8,4) 4.89, (8,8) 5.08,
-    # (16,8) 5.04, (16,4) 3.92 Gpix/s — deeper sublane stacking amortizes
-    # per-grid-step overhead; (8,8) is the plateau
-    return 8, (256 // h if 256 % h == 0 else (128 // h if 128 % h == 0 else 1))
+    for pl, ps in ((16, 16), (16, 8), (8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (2, 1)):
+        if ps * h <= 1024 and n % (pl * ps) == 0:
+            return pl, ps
+    return 1, 1
 
 
 def _mega_gray1_packed_kernel(
     x_ref,
     f1_ref,   # [P_s*h, 128] f32 pass-1/3 lerp fracs (tiled per sub-image)
     f2p_ref,  # [P_l*csz, 128] f32 pass-2 PIXEL fracs (csz-padded, tiled)
-    *rest,    # [k2r_ref [P_l*csz,128], c2_ref [1,G2,128] when grp2], o_ref
+    o_ref,    # [P_s*h, P_l*csz] u8 PACKED luma slab (XLA unpacks/replicates)
+    *,
     h: int,
     wc: int,
     c: int,
     packl: int,  # images packed along lanes
     packs: int,  # images packed along sublanes
-    csz: int,   # x-compartment lane width (>= w + px + 2, 128-multiple)
-    csz_y: int, # y-compartment lane width (>= h + py + 2; P_s*csz_y 128-mult)
+    csz: int,   # x-compartment lane stride (>= w + px + 2; P_l*csz 128-mult)
+    csz_y: int, # y-compartment lane stride (>= h + py + 2; P_s*csz_y 128-mult)
     taps: tuple[float, ...],
     runs1: tuple[tuple[int, int, int], ...],  # tiled per js (stride h)
     runs2: tuple[tuple[int, int, int], ...],  # tiled per jl (stride csz,
                                               # last run extended to csz)
     fill: int,
-    grp2: tuple[int, int, int] | None = None,  # (gh, bias_r, nbits_r):
-    # pass 2 via grouped rolls — one roll per gh-row group + an exact
-    # static residual route, instead of per-run rolls whose count
-    # multiplies by packl (the run pattern repeats per lane compartment)
     front: str = "u8packed",  # "u8packed" | "i32perimg" — see below
 ):
     """Multi-image-packed variant of _mega_gray1_kernel: P = packl*packs images
     share ONE slab per stage — image jl occupies lanes [jl*csz, jl*csz+w)
     (x direction) and image js rows [js*h, (js+1)*h) (y direction), with
-    per-compartment fill margins. Every slab's lane width is an exact
-    128-multiple, killing the 2.6x misaligned-lane penalty at 224/32-class
-    shapes, and each VPU op covers P images (per-op overhead amortized).
+    per-compartment fill margins. The TOTAL slab lane width is an exact
+    128-multiple (killing the misaligned-lane penalty at 224/32-class
+    shapes) while each compartment is only content + margin wide —
+    round 5 shrank csz from round_up(w+px+2, 128) (= 128 lanes per
+    32-pixel image, 3.2x waste, the round-4 CIFAR-32 cap) to
+    round_up(w+px+2, 128//packl) (= 40 at w=32, packl=16). Each VPU op
+    covers P images (per-op overhead amortized). The kernel emits the
+    PACKED quantized luma slab; per-image unpacking + channel replication
+    happen in XLA (per-image in-kernel stores would need 128-aligned lane
+    offsets, which sub-128 strides cannot give; the u8 unpack moves 1/12
+    of the f32 slab bytes and also deletes the two in-kernel channel-
+    replication transposes the round-4 kernel paid).
 
     Bit-exact per image vs _mega_gray1_kernel / the stream oracle: the
     compartment-cyclic roll wrap reproduces the single-image pad semantics
     — a negative-shift wrap lands in the PREVIOUS compartment's fill
     margin, and that margin's lerp partner is THIS compartment's first
     content lane, which is exactly the oracle's lerp(fill, v[0], f) left
-    edge. Margin widths (px+2 / py+2) guarantee shear reads never touch
-    the one wrap-lerp-polluted lane at each compartment boundary (same
-    +2 slack the single-image slabs rely on).
+    edge. Margin widths (>= px+2 / py+2 by construction of csz/csz_y)
+    guarantee shear reads never touch the one wrap-lerp-polluted lane at
+    each compartment boundary (same +2 slack the single-image slabs rely
+    on), and the per-pass margin scrubs restore fill between shears.
     """
-    if grp2 is None:
-        (o_ref,) = rest
-        k2r_ref = c2_ref = None
-    else:
-        k2r_ref, c2_ref, o_ref = rest
     fillf = float(fill)
     w = wc // c
     p = (len(taps) - 1) // 2
@@ -702,19 +704,9 @@ def _mega_gray1_packed_kernel(
         s1w = jnp.concatenate(sparts, axis=0)  # [packs*csz_y, packl*csz]
     else:
         s1w = s1
-    if grp2 is None:
-        s2 = _shear_pass(
-            jnp.swapaxes(s1w, 0, 1), runs2, f2c, 1, quantize=False
-        )  # [packl*csz, packs*csz_y]
-    else:
-        # pass-2 shifts are still STATIC — they arrive as materialized
-        # columns so one grouped roll (+ exact residual route) replaces
-        # the packl-times-repeated per-run roll list
-        gh2, bias_r2, nbits_r2 = grp2
-        s2 = _shear_pass_traced_grouped(
-            jnp.swapaxes(s1w, 0, 1), k2r_ref[:, :1], f2c, c2_ref, 0,
-            gh2, 1, bias_r2, nbits_r2, False,
-        )
+    s2 = _shear_pass(
+        jnp.swapaxes(s1w, 0, 1), runs2, f2c, 1, quantize=False
+    )  # [packl*csz, packs*csz_y]
     tb = jnp.swapaxes(s2, 0, 1)  # [packs*csz_y, packl*csz]
     if packs > 1:
         tb = jnp.concatenate(
@@ -729,22 +721,9 @@ def _mega_gray1_packed_kernel(
     s3in = jnp.where(lane % csz < w, tb, fillf)
     s3 = _shear_pass(s3in, runs1, f1c, 1, quantize=False)
 
-    # ---- single final quantization + per-image u8 stores -------------------
-    v = (s3 + 0.5).astype(jnp.int32)  # [packs*h, packl*csz]
-    hp2 = _round_up(packs * h, 128)
-    if hp2 != packs * h:
-        v = jnp.concatenate(
-            [v, jnp.zeros((hp2 - packs * h, packl * csz), jnp.int32)], axis=0
-        )
-    tv = jnp.swapaxes(v, 0, 1)  # [packl*csz, hp2]
-    vi = jnp.stack([tv, tv, tv], axis=1).reshape(3 * packl * csz, hp2)
-    big = jnp.swapaxes(vi, 0, 1)  # [hp2, 3*packl*csz]; lane slices below are
-    # 128-aligned because csz % 128 == 0 -> 3*csz % 384 == 0
-    for js in range(packs):
-        for jl in range(packl):
-            o_ref[js * packl + jl] = big[
-                js * h : js * h + h, jl * 3 * csz : jl * 3 * csz + wc
-            ].astype(jnp.uint8)
+    # ---- single final quantization, one packed u8 store ---------------------
+    # (values are >= 0: content/fill >= 0 and every lerp is convex)
+    o_ref[0] = (s3 + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _route_rows(v, amt, unit, nbits):
@@ -806,47 +785,70 @@ def _shear_pass_traced_grouped(
 
 
 #: row-group height for the grouped traced shears (see
-#: _shear_pass_traced_grouped). 0 disables grouping (pure log routing).
-#: With the tight residual bound the route needs (pass1, pass2) bits
-#: (2,2) at gh=4 / (2,3) at gh=8 / (3,4) at gh=16 for the 22.5-degree
-#: budget. Real-chip A/B (tools/probe_traced_gh.py, round 4): gh=8 wins
-#: — 10.5 Gpix/s vs 9.3 (gh=4; 128 roll slices/pass cost more than the
-#: saved route level) and 9.2 (gh=16) — all three bitwise-identical to
-#: the ungrouped log route on chip. Pass 2's slope (sin theta ~= 2 tan
-#: theta/2) doubles pass 1's, so its group height is SEPARATE: gh2=4
-#: keeps pass 2 at a 2-bit route where gh=8 needs 3.
-_TRACED_GROUP_ROWS = 8
-_TRACED_GROUP_ROWS2 = 4
+#: _shear_pass_traced_grouped). 0 = AUTO: the largest group whose
+#: one-sided residual still fits a 1-bit route (_auto_group_rows) —
+#: 6/3 at the 22.5-degree budget. Set >0 to pin a height (A/B probes);
+#: set <0 to disable grouping entirely (pure log routing).
+#: Round-5 change: the coarse shift is the per-group MINIMUM (one-sided
+#: residual in [0, range], range = floor(slope*(gh-1))+1) instead of the
+#: group-center value (symmetric +-(floor(slope*gh/2)+1)); paying the
+#: floor-slack +1 once instead of twice doubles the group height at the
+#: same route depth — half the dynamic-roll slices per shear, which the
+#: round-4 gh probe showed is the dominant cost (gh=8 beat gh=4 purely
+#: on slice count). Real-chip A/B: tools/probe_traced_gh.py.
+_TRACED_GROUP_ROWS = 0
+_TRACED_GROUP_ROWS2 = 0
+
+
+def _auto_group_rows(slope_max: float, target_range: int = 1) -> int:
+    """Largest group height whose one-sided residual range
+    floor(slope*(gh-1))+1 stays <= target_range (1 -> a 1-BIT route, the
+    measured optimum: at the 22.5-deg budget this gives gh=(6,3) = 10.3-10.5
+    Gpix/s vs 9.8 for the 2-bit (16,8) and the round-4 centered (8,4) in
+    same-process A/Bs — two saved route passes per shear beat the extra
+    group-roll slices; tools/probe_traced_gh.py round 5)."""
+    if slope_max <= 0:
+        return 0
+    return 1 + int((target_range - 2e-4) // slope_max)
 
 
 def _grouped_params(rows: int, slope_max: float, gh: int, nbits_full: int):
-    """Static residual budget for grouped routing, or None when grouping
-    cannot beat the full log route (tiny slabs / tiny budgets).
+    """Static residual budget for one-sided grouped routing, or None when
+    grouping cannot beat the full log route (tiny slabs / tiny budgets).
 
-    |res(y)| = |floor(sx_y) - floor(sx_ym)| <= floor(|sx_y - sx_ym|) + 1
-    (the floor-difference bound), with |sx_y - sx_ym| <= smax*dy + 2*eps:
-    dy = max |y - ym| <= ceil((gh-1)/2), and eps bounds the f32 rounding
-    of each product sx = fl(a*ys) (|a*ys| <= 51.2 at the 22.5-deg budget
-    for h <= 512 -> eps <= 3.1e-6; the 1e-4 epsilon below covers h into
-    the tens of thousands). Round 3 used a +2 slack here — one full extra
-    roll+select level per shear at gh<=8; the tight bound is what makes
-    gh=4 pay (VERDICT r4 item 2)."""
+    The coarse shift is the per-group MINIMUM of k = floor(sx), so the
+    residual is one-sided: 0 <= k_y - min_g k <= max_g k - min_g k <=
+    floor(max|sx_y - sx_y'|) + 1 (the floor-difference bound) <=
+    floor(smax*(gh-1) + 2*eps) + 1, where eps bounds the f32 rounding of
+    each product sx = fl(a*ys) (|a*ys| <= 51.2 at the 22.5-deg budget for
+    h <= 512 -> eps <= 3.1e-6; the 1e-4 epsilon below covers h into the
+    tens of thousands). One-sided pays the +1 floor slack ONCE (the
+    centered formulation paid it on both sides), so the same 2-bit route
+    supports ~2x the group height: gh 16/8 instead of 8/4 at 22.5 deg —
+    half the dynamic-roll slices (VERDICT r4 item 1)."""
     if gh <= 0 or rows <= gh:
         return None
-    dy = (gh - 1 + 1) // 2  # ceil((gh-1)/2)
-    bres = int(math.floor(slope_max * dy + 1e-4)) + 1
-    nbits_r = max(int(math.ceil(math.log2(2 * bres + 1))), 1)
+    rng_k = int(math.floor(slope_max * (gh - 1) + 1e-4)) + 1
+    nbits_r = max(int(math.ceil(math.log2(rng_k + 1))), 1)
     if nbits_r >= nbits_full:
         return None
-    mids = np.asarray(
-        [g0 + (min(gh, rows - g0) - 1) // 2 for g0 in range(0, rows, gh)],
-        np.int32,
-    )
     gidx = np.repeat(
-        np.arange(len(mids), dtype=np.int32),
+        np.arange((rows + gh - 1) // gh, dtype=np.int32),
         [min(gh, rows - g0) for g0 in range(0, rows, gh)],
     )
-    return bres, nbits_r, mids, gidx
+    return rng_k, nbits_r, gidx
+
+
+def _group_min(k: jnp.ndarray, gh: int) -> jnp.ndarray:
+    """Per-group minimum of [n, rows] i32 shifts over static contiguous
+    groups of ``gh`` rows (ragged tail padded with the last column, which
+    never lowers a min below its group's true value)."""
+    n, rows = k.shape
+    g = (rows + gh - 1) // gh
+    pad = g * gh - rows
+    if pad:
+        k = jnp.concatenate([k, jnp.broadcast_to(k[:, -1:], (n, pad))], axis=1)
+    return k.reshape(n, g, gh).min(axis=2)
 
 
 def _mega_traced_gray1_kernel(
@@ -1141,27 +1143,28 @@ def _fused_blur_rotate_batched_jit(
         # single-luma-channel back half (see _mega_gray1_kernel): the three
         # log-routed shears and their transposes run on 1/3 the data
         lsx = _round_up(w + px + 2, 128)
-        gh1, gh2 = _TRACED_GROUP_ROWS, _TRACED_GROUP_ROWS2
-        g1p = _grouped_params(h, math.tan(tm / 2.0), gh1, nbits1)
-        g2p = _grouped_params(w, math.sin(tm), gh2, nbits2)
+        slope1, slope2 = math.tan(tm / 2.0), math.sin(tm)
+        gh1 = _auto_group_rows(slope1) if _TRACED_GROUP_ROWS == 0 else max(_TRACED_GROUP_ROWS, 0)
+        gh2 = _auto_group_rows(slope2) if _TRACED_GROUP_ROWS2 == 0 else max(_TRACED_GROUP_ROWS2, 0)
+        g1p = _grouped_params(h, slope1, gh1, nbits1)
+        g2p = _grouped_params(w, slope2, gh2, nbits2)
         k1i = k1.astype(jnp.int32)   # [n, h]
         k2i = k2px.astype(jnp.int32)  # [n, w]
         extra_specs, extra_args = [], []
         if g1p is not None and g2p is not None:
-            bres1, nbits_r1, mids1, gidx1 = g1p
-            bres2, nbits_r2, mids2, gidx2 = g2p
-            c1v = k1i[:, mids1]                       # [n, G1] coarse shifts
-            c2v = k2i[:, mids2]                       # [n, G2]
-            r1 = k1i - c1v[:, gidx1]                  # within-group residuals
+            _, nbits_r1, gidx1 = g1p
+            _, nbits_r2, gidx2 = g2p
+            c1v = _group_min(k1i, gh1)                # [n, G1] coarse shifts
+            c2v = _group_min(k2i, gh2)                # [n, G2]
+            r1 = k1i - c1v[:, gidx1]                  # one-sided residuals
             r2 = k2i - c2v[:, gidx2]
-            # per-group dynamic RIGHT-roll amounts: roll_left by coarse,
-            # with the route's static -bias_r pre-roll folded in (one slab
-            # pass saved per shear — see _shear_pass_traced_grouped)
-            cr1 = (lsx - c1v + bres1) % lsx
-            cr2 = (ls2 - c2v + bres2) % ls2
-            grp = (gh1, gh2, bres1, nbits_r1, bres2, nbits_r2)
+            # per-group dynamic RIGHT-roll amounts (roll_left by coarse);
+            # one-sided residuals need no bias pre-roll (bias_r = 0)
+            cr1 = (lsx - c1v) % lsx
+            cr2 = (ls2 - c2v) % ls2
+            grp = (gh1, gh2, 0, nbits_r1, 0, nbits_r2)
             k1_in, k2_in = r1, r2
-            ng1, ng2 = len(mids1), len(mids2)
+            ng1, ng2 = c1v.shape[1], c2v.shape[1]
             extra_specs = [
                 pl.BlockSpec((1, ng1, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1209,24 +1212,26 @@ def _fused_blur_rotate_batched_jit(
 
     gv = _gray_constants(wc)
 
-    gh1, gh2 = _TRACED_GROUP_ROWS, _TRACED_GROUP_ROWS2
-    g1p = _grouped_params(h, math.tan(tm / 2.0), gh1, nbits1)
-    g2p = _grouped_params(w, math.sin(tm), gh2, nbits2)
+    slope1, slope2 = math.tan(tm / 2.0), math.sin(tm)
+    gh1 = _auto_group_rows(slope1) if _TRACED_GROUP_ROWS == 0 else max(_TRACED_GROUP_ROWS, 0)
+    gh2 = _auto_group_rows(slope2) if _TRACED_GROUP_ROWS2 == 0 else max(_TRACED_GROUP_ROWS2, 0)
+    g1p = _grouped_params(h, slope1, gh1, nbits1)
+    g2p = _grouped_params(w, slope2, gh2, nbits2)
     k1i = k1.astype(jnp.int32)    # [n, h]
     k2pxi = k2px.astype(jnp.int32)  # [n, w] pixel shifts
     extra_specs, extra_args = [], []
     if g1p is not None and g2p is not None:
-        bres1, nbits_r1, mids1, gidx1 = g1p
-        bres2, nbits_r2, mids2, gidx2 = g2p
-        c1v = k1i[:, mids1]                    # [n, G1] coarse pixel shifts
-        c2v = k2pxi[:, mids2]                  # [n, G2]
-        k1_in = k1i - c1v[:, gidx1]            # [n, h] residuals
+        _, nbits_r1, gidx1 = g1p
+        _, nbits_r2, gidx2 = g2p
+        c1v = _group_min(k1i, gh1)             # [n, G1] coarse pixel shifts
+        c2v = _group_min(k2pxi, gh2)           # [n, G2]
+        k1_in = k1i - c1v[:, gidx1]            # [n, h] one-sided residuals
         k2_in = jnp.repeat(k2pxi - c2v[:, gidx2], c, axis=1)  # [n, wc]
-        # right-roll lanes (unit=c for pass 1), -bias_r pre-roll folded in
-        cr1 = (ls1 - (c1v - bres1) * c) % ls1
-        cr2 = (ls2 - c2v + bres2) % ls2
-        grp = (gh1, gh2, bres1, nbits_r1, bres2, nbits_r2)
-        ng1, ng2 = len(mids1), len(mids2)
+        # right-roll lanes (unit=c for pass 1); one-sided -> bias_r = 0
+        cr1 = (ls1 - c1v * c) % ls1
+        cr2 = (ls2 - c2v) % ls2
+        grp = (gh1, gh2, 0, nbits_r1, 0, nbits_r2)
+        ng1, ng2 = c1v.shape[1], c2v.shape[1]
         extra_specs = [
             pl.BlockSpec((1, ng1, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1349,12 +1354,11 @@ def fused_blur_rotate_image(
         npack = pkl * pks
         if npack > 1 and n % npack == 0:
             # multi-image packed kernel: npack images share each slab with
-            # per-compartment margins — every lane width an exact
-            # 128-multiple (see _mega_gray1_packed_kernel / _pack_factors)
-            csz = lsx
-            csz_y = h + py + 2
-            while (pks * csz_y) % 128:
-                csz_y += 1
+            # per-compartment margins — compartments are content + margin
+            # wide (csz = round_up(w+px+2, 128//packl)) and only the slab
+            # TOTAL is an exact 128-multiple (see _mega_gray1_packed_kernel)
+            csz = _round_up(w + px + 2, 128 // pkl)
+            csz_y = _round_up(h + py + 2, 128 // pks)
             runs1_t = tuple(
                 (js * h + r0, js * h + r1, k)
                 for js in range(pks)
@@ -1373,59 +1377,18 @@ def fused_blur_rotate_image(
             f2_pad = np.zeros(csz, np.float32)
             f2_pad[:w] = f2p
             f2_t = np.tile(f2_pad, pkl)  # [pkl*csz]
-            grp2 = None
-            extra_specs: list = []
-            extra_args: list = []
-            if _PACKED_PASS2_GROUPED:
-                # pass-2 per-run rolls repeat per lane compartment (xP_l);
-                # replace them with ONE roll per 16-row group + an EXACT
-                # static residual route (shifts are static, so the residual
-                # bound needs no slack)
-                gh2 = 16  # divides csz (128-multiple): groups never straddle
-                rows2 = pkl * csz
-                k2_ext = np.zeros(csz, np.int64)
-                k2_ext[:w] = k2px
-                k2_ext[w:] = k2px[-1]
-                k2_rows = np.tile(k2_ext, pkl)
-                g2n = rows2 // gh2
-                mids2 = np.arange(g2n) * gh2 + (gh2 - 1) // 2
-                coarse2 = k2_rows[mids2]
-                res2 = (k2_rows - np.repeat(coarse2, gh2)).astype(np.int32)
-                bres2 = int(np.abs(res2).max())
-                nbits_r2 = (
-                    max(int(math.ceil(math.log2(2 * bres2 + 1))), 1)
-                    if bres2
-                    else 0
-                )
-                lanes2 = pks * csz_y
-                # -bias_r pre-roll folded into the group rolls (see
-                # _shear_pass_traced_grouped)
-                cr2 = ((lanes2 - coarse2 + bres2) % lanes2).astype(np.int32)
-                grp2 = (gh2, bres2, nbits_r2)
-                extra_specs = [
-                    pl.BlockSpec((rows2, 128), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, g2n, 128), lambda i: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ]
-                extra_args = [
-                    jnp.broadcast_to(
-                        jnp.asarray(res2)[:, None], (rows2, 128)
-                    ),
-                    jnp.broadcast_to(
-                        jnp.asarray(cr2)[None, :, None], (1, g2n, 128)
-                    ),
-                ]
+            ng = n // npack
             out = pl.pallas_call(
                 functools.partial(
                     _mega_gray1_packed_kernel,
                     h=h, wc=wc, c=c, packl=pkl, packs=pks, csz=csz, csz_y=csz_y,
                     taps=taps, runs1=runs1_t, runs2=runs2_t, fill=fill,
-                    grp2=grp2,
                     front="i32perimg" if pks == 1 and h >= 128 else "u8packed",
                 ),
-                out_shape=jax.ShapeDtypeStruct((n, h, wc), jnp.uint8),
-                grid=(n // npack,),
+                out_shape=jax.ShapeDtypeStruct(
+                    (ng, pks * h, pkl * csz), jnp.uint8
+                ),
+                grid=(ng,),
                 in_specs=[
                     pl.BlockSpec(
                         (npack, h, wc), lambda i: (i, 0, 0),
@@ -1439,9 +1402,9 @@ def fused_blur_rotate_image(
                         (pkl * csz, 128), lambda i: (0, 0),
                         memory_space=pltpu.VMEM,
                     ),
-                ] + extra_specs,
+                ],
                 out_specs=pl.BlockSpec(
-                    (npack, h, wc), lambda i: (i, 0, 0),
+                    (1, pks * h, pkl * csz), lambda i: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 compiler_params=pltpu.CompilerParams(
@@ -1452,9 +1415,13 @@ def fused_blur_rotate_image(
                 xp,
                 jnp.broadcast_to(jnp.asarray(f1_t)[:, None], (pks * h, 128)),
                 jnp.broadcast_to(jnp.asarray(f2_t)[:, None], (pkl * csz, 128)),
-                *extra_args,
             )
-            return out.reshape(n, h, w, c)
+            # XLA unpack: packed slab rows are (js, y), lanes (jl, x-in-csz);
+            # margin lanes are sliced off BEFORE the transpose so the u8
+            # relayout moves content bytes only, then channels replicate
+            o = out.reshape(ng, pks, h, pkl, csz)[:, :, :, :, :w]
+            o = o.transpose(0, 1, 3, 2, 4).reshape(n, h, w)
+            return jnp.broadcast_to(o[:, :, :, None], (n, h, w, c))
         out = pl.pallas_call(
             functools.partial(
                 _mega_gray1_kernel,

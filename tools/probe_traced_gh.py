@@ -1,14 +1,14 @@
-"""Real-chip A/B of the traced-angle fused chain's group height after the
-round-4 tight residual bound + bias-fold (VERDICT r4 item 2).
+"""Real-chip A/B of the traced-angle fused chain's group heights.
 
-With the tight floor-difference bound (+1 instead of +2 slack,
-megakernel._grouped_params) the residual route needs:
-  gh=16: pass1 3 bits, pass2 4 bits (unchanged vs round 3)
-  gh=8:  pass1 2 bits, pass2 3 bits
-  gh=4:  pass1 2 bits, pass2 2 bits
-and the static -bias_r pre-roll is folded into the per-group dynamic
-rolls (one slab pass saved per shear) at every gh. Cost of smaller gh:
-more pltpu.roll slices per group pass (128 at gh=4, h=512).
+Round 5 (one-sided group-minimum residuals, megakernel._grouped_params):
+the same route depth now supports ~2x the group height — at the
+22.5-degree budget the residual needs 2 bits at gh=(16,8) (32+64 roll
+slices per shear at 512) or 1 bit at gh=(6,3) (86+171 slices). Measured
+round 5 (same process): (16,8) 10.19/10.50 vs round-4 centered (8,4)
+9.79 Gpix/s — slice count dominates, matching the round-4 gh probe.
+
+Args: "16:8" pins per-pass heights, "0" = auto (one-sided 2-bit,
+default), "-1" = ungrouped pure log route.
 
 Run: python tools/probe_traced_gh.py [gh ...]
 """
@@ -41,7 +41,9 @@ def traced_fn(x):
 
 
 def _run8(gh):
-    gh1, gh2 = gh if isinstance(gh, tuple) else (gh, gh if gh else 0)
+    # gh semantics match megakernel._TRACED_GROUP_ROWS: tuple = pinned
+    # per-pass heights, 0 = auto (one-sided 2-bit), -1 = ungrouped log route
+    gh1, gh2 = gh if isinstance(gh, tuple) else (gh, gh)
     mk._TRACED_GROUP_ROWS = gh1
     mk._TRACED_GROUP_ROWS2 = gh2
     mk._fused_blur_rotate_batched_jit.clear_cache()
@@ -83,9 +85,9 @@ def main() -> None:
     ghs = [
         tuple(int(p) for p in a.split(":")) if ":" in a else int(a)
         for a in sys.argv[1:]
-    ] or [(8, 4), (8, 8), (8, 4)]
-    base, emax0, efrac0 = _run8(0)  # ungrouped log route reference
-    print(f"gh=0 (ungrouped): vs oracle max {emax0} LSB at {efrac0:.2e}")
+    ] or [(16, 8), (8, 4), (16, 8)]
+    base, emax0, efrac0 = _run8(-1)  # ungrouped log route reference
+    print(f"gh=-1 (ungrouped): vs oracle max {emax0} LSB at {efrac0:.2e}")
     results = {}
     for i, gh in enumerate(ghs):
         key = f"gh{gh}" if f"gh{gh}" not in results else f"gh{gh}_rep{i}"
