@@ -520,6 +520,7 @@ def test_fast_compile_spec_subset_of_match_mega(rng):
         ((8, 224, 224), 0.0, -9.3, 0),    # no blur
         ((8, 224, 224), 1.0, 22.5, 3),    # nonzero fill: margin restore+scrubs
         ((64, 32, 32), 1.5, 15.0, 0),     # CIFAR-class: (8,8), u8packed front
+        ((256, 32, 32), 1.5, 15.0, 2),    # (16,16): sub-128 csz=40 strides
         ((32, 64, 64), 2.0, 30.0, 0),     # (8,4)
         ((8, 160, 192), 2.0, 11.0, 0),    # ragged 224-class
     ],
@@ -557,33 +558,6 @@ def test_packed_gray1_matches_oracle_and_unpacked(rng, shape, radius, angle, fil
     ref = ofw.fused_stream_chain(
         imgs, radius, angle, fill=fill, grayscale_out=True
     )
-    err = np.abs(out.astype(int) - ref.astype(int))
-    assert err.max() <= 1
-    assert (err > 0).mean() <= 1e-4
-
-
-def test_packed_gray1_grouped_pass2_parity(rng):
-    """The grouped-pass-2 variant (_PACKED_PASS2_GROUPED) must match the
-    per-run default bit-for-bit (same lerp; only the roll routing differs)."""
-    import imagetransformations_tpu.ops.pallas.megakernel as mk
-
-    imgs = rng.integers(0, 256, (8, 224, 224, 3), dtype=np.uint8)
-    ref = ofw.fused_stream_chain(imgs, 1.5, 15.0, grayscale_out=True)
-    old = mk._PACKED_PASS2_GROUPED
-    orig_pf = mk._pack_factors
-    try:
-        mk._PACKED_PASS2_GROUPED = True
-        mk._pack_factors = lambda nn, hh, ww: (4, 1)  # force packing at 224
-        fused_blur_rotate_image.clear_cache()
-        out = np.asarray(
-            fused_blur_rotate_image(
-                jnp.asarray(imgs), 1.5, 15.0, grayscale_out=True, stream=True
-            )
-        )
-    finally:
-        mk._PACKED_PASS2_GROUPED = old
-        mk._pack_factors = orig_pf
-        fused_blur_rotate_image.clear_cache()
     err = np.abs(out.astype(int) - ref.astype(int))
     assert err.max() <= 1
     assert (err > 0).mean() <= 1e-4

@@ -1,11 +1,13 @@
-"""Real-chip A/B at 224x224: unpacked vs block-packed (per-run pass 2)
-vs block-packed with grouped pass 2 (one roll per 16-row group + exact
-static residual route).
+"""Real-chip A/B at 224x224: unpacked vs block-packed gray1 kernel.
 
-Context: probe_packed_gray1 measured block-packed 9.18 vs unpacked 11.53
-at 224 — the pass-2 per-run roll list multiplies by the lane-pack factor
-(4x ~60 tiny rolls) and eats the alignment win. The grouped variant
-replaces ~240 run rolls with 64 group rolls + ~6 route passes.
+Context (round 4): probe_packed_gray1 measured block-packed 9.18 vs
+unpacked 11.53 at 224 — the pass-2 per-run roll list multiplies by the
+lane-pack factor and eats the alignment win; a grouped-pass-2 variant
+(one roll per 16-row group + exact static residual route) measured
+11.07/11.77 vs 12.09 per-run / 12.13 unpacked and was REMOVED in round 5
+(negative result recorded in megakernel._pack_factors). Packing stays
+scoped to h < 128; this probe force-enables it at 224 to re-check that
+scoping whenever the packed geometry changes.
 
 Run: python tools/probe_packed_224.py
 """
@@ -60,21 +62,15 @@ def main() -> None:
     pack4 = lambda n, h, w: (4, 1) if h >= 128 else orig(n, h, w)
 
     mk._pack_factors = pack4
-    mk._PACKED_PASS2_GROUPED = True
-    results["packed_grp2"] = measure("packed grp2 (grouped pass 2)")
-
-    mk._PACKED_PASS2_GROUPED = False
     results["packed_runs"] = measure("packed runs (per-run pass 2)")
 
     mk._pack_factors = orig
     results["unpacked"] = measure("unpacked")
 
-    # second grp2 sample (same process) to bracket variance
+    # second packed sample (same process) to bracket variance
     mk._pack_factors = pack4
-    mk._PACKED_PASS2_GROUPED = True
-    results["packed_grp2_b"] = measure("packed grp2 (repeat)")
+    results["packed_runs_b"] = measure("packed runs (repeat)")
     mk._pack_factors = orig
-    mk._PACKED_PASS2_GROUPED = False
     mk.fused_blur_rotate_image.clear_cache()
     print(json.dumps(results))
 

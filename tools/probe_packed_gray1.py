@@ -28,11 +28,13 @@ from imagetransformations_tpu.oracle import fast_warp as ofw
 ANGLE, RADIUS = 15.0, 1.5
 
 #: (batch, h, w, scan_k) — 512 is omitted: _pack_factors returns (1,1)
-#: there, so packed == unpacked by construction
+#: there, so packed == unpacked by construction. Windows are sized so
+#: batch*k*pix is >= 2x the ~30 ms RPC floor (the round-4 lesson: k=24 at
+#: these tiny shapes reads 25%+ jitter; bench.py uses k=96 too).
 SHAPES = [
-    (128, 224, 224, 24),
-    (256, 32, 32, 24),
-    (128, 64, 64, 24),
+    (128, 224, 224, 96),
+    (4096, 32, 32, 96),
+    (512, 64, 64, 96),
 ]
 
 
@@ -60,7 +62,7 @@ def run(label: str, shapes=SHAPES) -> dict:
 def parity() -> int:
     rng = np.random.default_rng(0)
     worst = 0
-    for n, h, w in [(8, 224, 224), (32, 32, 32)]:
+    for n, h, w in [(8, 224, 224), (32, 32, 32), (256, 32, 32)]:
         imgs = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
         got = np.asarray(
             mk.fused_blur_rotate_image(
