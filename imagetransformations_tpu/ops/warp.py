@@ -451,18 +451,29 @@ _SCALE_LIMB_MXU = _SCALE_FORM != "i32"
 
 
 def _limb_pass(a, mm, spec: str):
-    """One resize pass as two f32 MXU matmuls over 11-bit coefficient limbs,
-    recombined in int32 — bit-exact vs the int32 einsum: every product is
-    < 2^19 (8-bit pixel x 11-bit limb) and the ~7-tap row support keeps all
-    partial sums < 2^24, so f32 accumulation is order-independent exact
-    (verified vs int64 on the real LANCZOS canvas matrices in
-    tools/probe_scale_compile.py's CPU check)."""
-    hi = jnp.floor_divide(mm, 1 << 11).astype(jnp.float32)
-    lo = jnp.remainder(mm, 1 << 11).astype(jnp.float32)
+    """One resize pass as three f32 MXU matmuls over 8-BIT coefficient
+    limbs, recombined in int32 — bit-exact vs the int32 einsum on BOTH
+    backends: every operand integer is <= 255 and therefore EXACT in
+    bfloat16, so the TPU MXU's default-precision bf16 input truncation is
+    lossless (any hi/lo decomposition of exact-bf16 inputs is exact);
+    products are < 2^16 and the ~7-tap row support keeps partial sums
+    < 2^19, exact in the f32 accumulator.
+
+    HARD-WON (round 5): the original 11-bit limbs were exact on CPU (true
+    f32 einsum) but WRONG on the real chip — jnp.einsum's DEFAULT TPU
+    precision truncates f32 inputs to bf16 (8 mantissa bits), silently
+    dropping the low bits of 11-bit limbs (bench_kernels gate: 3 LSB at
+    23% of pixels at 512x512). Integer-exact MXU matmuls must keep every
+    operand <= 2^8 (or request Precision.HIGHEST and pay the multi-pass
+    cost)."""
+    hi = jnp.floor_divide(mm, 1 << 16).astype(jnp.float32)
+    mid = jnp.floor_divide(jnp.remainder(mm, 1 << 16), 1 << 8).astype(jnp.float32)
+    lo = jnp.remainder(mm, 1 << 8).astype(jnp.float32)
     af = a.astype(jnp.float32)
     phi = jnp.einsum(spec, af, hi).astype(jnp.int32)
+    pmid = jnp.einsum(spec, af, mid).astype(jnp.int32)
     plo = jnp.einsum(spec, af, lo).astype(jnp.int32)
-    return (phi << 11) + plo
+    return (phi << 16) + (pmid << 8) + plo
 
 
 @_functools.lru_cache(maxsize=32)
@@ -538,12 +549,12 @@ def apply_scale_batched(img: jnp.ndarray, factors, grid: tuple) -> jnp.ndarray:
         # [G,size,size][idx] gather alone costs ~86 s to compile, the
         # batched einsum pair the rest; kept for A/B and as the
         # maximum-parallelism option for huge batches):
-        # - limb: 11-bit-limb f32 MXU einsums — bit-exact vs int32
-        #   (products < 2^19 exact in f32; ~7-tap row support keeps every
-        #   partial sum < 2^24 -> order-independent exact; verified per
-        #   grid value vs int64 in tools/probe_scale_compile.py's CPU
-        #   check); compiles ~20% faster than the int32 pair
-        #   (371 vs 467 s back-to-back in the round-4 slow-server regime)
+        # - limb: 8-bit-limb f32 MXU einsums — bit-exact vs int32 on BOTH
+        #   backends (all operands <= 255 are exact in bf16, so the TPU
+        #   MXU's default input truncation is lossless — see _limb_pass's
+        #   hard-won note); the 2-matmul 11-bit form compiled ~20% faster
+        #   than the int32 pair (371 vs 467 s, round-4 slow-server regime)
+        #   but was WRONG on the real chip
         # - i32: the original int32 einsum pair
         hsel = jnp.asarray(_scale_canvas_matrices(w, gt))[idx]
         vsel = jnp.asarray(_scale_canvas_matrices(h, gt))[idx]
