@@ -269,6 +269,59 @@ def _forward_all_fn(model_fn, to_model_space, batch_size: int):
     return run
 
 
+def _forward_uq_all_fn(
+    model_fn,
+    feats_logits_fn,
+    to_model_space,
+    batch_size: int,
+    odin_temperature: float = 1000.0,
+    odin_eps: float = 0.0014,
+):
+    """Whole-dataset scanned forward producing (logits, penultimate
+    features, ODIN uncertainty) in ONE jitted dispatch.
+
+    Each scan step applies the model three times (the feature forward, the
+    ODIN input-gradient backward, the perturbed re-forward at temperature
+    T) — the price of the reference harness computing ODIN inline next to
+    the logit metrics (attacks/uncertainty/FINAL_cifar_corrupted.py:237-262)
+    without paying per-batch dispatch floors. Cached per closure identity
+    like ``_forward_all_fn``."""
+    from imagetransformations_tpu.uq.odin import odin_uncertainty
+
+    params = (int(batch_size), float(odin_temperature), float(odin_eps))
+    hit = _FWD_CACHE.get((model_fn, feats_logits_fn, to_model_space), params)
+    if hit is not None:
+        return hit
+
+    @jax.jit
+    def run(images_u8):
+        n = images_u8.shape[0]
+        bs = min(int(batch_size), int(n))
+        pad = (-n) % bs
+        x = images_u8
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        nb = x.shape[0] // bs
+        xb = x.reshape((nb, bs) + x.shape[1:])
+
+        def body(_, b):
+            xm = to_model_space(b)
+            feats, logits = feats_logits_fn(xm)
+            od = odin_uncertainty(
+                model_fn, xm, float(odin_temperature), float(odin_eps)
+            )
+            return None, (logits, feats, od)
+
+        _, (lg, ft, od) = jax.lax.scan(body, None, xb)
+        lg = lg.reshape((nb * bs,) + lg.shape[2:])
+        ft = ft.reshape((nb * bs,) + ft.shape[2:])
+        od = od.reshape((nb * bs,) + od.shape[2:])
+        return lg[:n], ft[:n], od[:n]
+
+    _FWD_CACHE.put((model_fn, feats_logits_fn, to_model_space), params, run)
+    return run
+
+
 def evaluate_batched(
     model_fn: Callable[[jnp.ndarray], jnp.ndarray],
     to_model_space: Callable[[jnp.ndarray], jnp.ndarray],
@@ -384,11 +437,21 @@ def corruption_sweep(
     metric_names: tuple[str, ...] = ("shannon_entropy", "msp", "margin", "energy"),
     mesh=None,
     mesh_axis: str = "data",
+    uq_extras: dict | None = None,
 ):
     """FINAL_cifar_corrupted-style sweep -> nested result dict.
 
     result[corruption][severity] = {accuracy, auroc per metric}.
     AUROC targets error detection: metric vs (prediction incorrect).
+
+    ``uq_extras`` (single-chip only) adds the reference harness's two
+    non-logit detectors as extra "odin"/"mahalanobis" AUROC columns
+    (FINAL_cifar_corrupted.py:237-262): a dict with ``feats_logits_fn``
+    (model-space x -> (penultimate feats, logits)), ``maha_mean``/
+    ``maha_precision`` (clean-feature Gaussian fit, uq.mahalanobis.fit),
+    and optional ``odin_temperature``/``odin_eps`` (default 1000/0.0014,
+    uncertainty_metrics.py:69-94). Per-cell dispatch count stays 3
+    (generate, scanned uq forward, fused stats).
 
     With ``mesh`` set, generation runs on the batch-sharded dataset (the
     plain-XLA generators GSPMD-partition under their own jits) and the
@@ -400,6 +463,19 @@ def corruption_sweep(
     axis size (the same per-cell PRNG key drives generation).
     """
     names = corruption_names or tuple(CORRUPTIONS)
+    if uq_extras is not None:
+        assert mesh is None, "uq_extras is a single-chip path"
+        fwd_uq = _forward_uq_all_fn(
+            model_fn,
+            uq_extras["feats_logits_fn"],
+            to_model_space,
+            batch_size,
+            uq_extras.get("odin_temperature", 1000.0),
+            uq_extras.get("odin_eps", 0.0014),
+        )
+        stats_uq = _cell_stats_uq_fn(tuple(metric_names))
+        mmean = jnp.asarray(uq_extras["maha_mean"])
+        mprec = jnp.asarray(uq_extras["maha_precision"])
     stats = _cell_stats_fn(tuple(metric_names))
     xs_sharded = pad = None
     if mesh is not None:
@@ -430,12 +506,55 @@ def corruption_sweep(
                 # per-batch loop + eager metric/auroc calls previously cost
                 # seconds of launch floors per cell on the tunneled runtime
                 imgs = corrupt(clean_images_u8, name, sev, k)
+                if uq_extras is not None:
+                    logits, feats, od = fwd_uq(imgs)
+                    acc, aucs_arr = stats_uq(
+                        logits, labels, feats, od, mmean, mprec
+                    )
+                    aucs_np = np.asarray(aucs_arr)
+                    cols = tuple(metric_names) + ("odin", "mahalanobis")
+                    out[name][sev] = {
+                        "accuracy": float(acc),
+                        "auroc": {m: float(a) for m, a in zip(cols, aucs_np)},
+                    }
+                    continue
                 logits = _forward_all_fn(model_fn, to_model_space, batch_size)(imgs)
             acc, aucs_arr = stats(logits, labels)
             aucs_np = np.asarray(aucs_arr)
             aucs = {m: float(a) for m, a in zip(metric_names, aucs_np)}
             out[name][sev] = {"accuracy": float(acc), "auroc": aucs}
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_stats_uq_fn(metric_names: tuple):
+    """``_cell_stats_fn`` extended with the two non-logit detectors the
+    reference sweep computes inline (FINAL_cifar_corrupted.py:237-262):
+    ODIN (precomputed per-sample uncertainty) and Mahalanobis distance of
+    penultimate features to the clean-feature Gaussian (mean + precision
+    passed as runtime operands so one executable serves any fit). Returns
+    (accuracy, aucs[M + 2]) with ODIN then Mahalanobis appended."""
+
+    @jax.jit
+    def run(logits, labels, feats, od, mmean, mprec):
+        pred = jnp.argmax(logits, axis=-1)
+        correct = (pred == labels).astype(jnp.float32)
+        errors = 1.0 - correct
+        aucs = []
+        for m in metric_names:
+            score = um.LOGIT_METRICS[m](logits)
+            if m in um.CONFIDENCE_METRICS:
+                score = -score
+            aucs.append(auroc(score, errors))
+        aucs.append(auroc(od, errors))
+        c = feats.astype(jnp.float32) - mmean
+        maha = jnp.sqrt(
+            jnp.maximum(jnp.einsum("bd,de,be->b", c, mprec, c), 0.0)
+        )
+        aucs.append(auroc(maha, errors))
+        return jnp.mean(correct), jnp.stack(aucs)
+
+    return run
 
 
 @functools.lru_cache(maxsize=None)

@@ -68,5 +68,12 @@ def test_sweep_artifacts_regenerate(tmp_path):
             for m, v in cell["auroc"].items():
                 assert 0.0 <= v <= 1.0, (name, sev, m, v)
 
+    # the two non-logit detector columns the reference computes inline
+    # (VERDICT r4 item 7): present in every cell and in the report table
+    for name, cells in data["result"].items():
+        for sev, cell in cells.items():
+            assert "odin" in cell["auroc"] and "mahalanobis" in cell["auroc"]
+
     md = open(os.path.join(tmp_path, "RESULTS.md")).read()
     assert "| gaussian_noise |" in md and "| shannon_entropy |" in md
+    assert "| odin |" in md and "| mahalanobis |" in md
