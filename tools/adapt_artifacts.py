@@ -1,0 +1,271 @@
+"""TENT + refinement committed science artifacts (VERDICT r4 item 4).
+
+Mirrors the two adaptation result tables the reference actually prints:
+
+- fall_2025/TENT_Pipelines.py:305-408 — corruption x severity baseline-vs-
+  TENT accuracy summary (protocols: continuous, reset, conditional with the
+  image-pixel-entropy gate) -> the `workflows.tent_sweep` matrix over all
+  15 canonical corruptions x 5 severities on the real chip.
+- pipeline/cifar_iterative_mc.py:425-435,549-553 — metric threshold ->
+  reverse-FGSM refinement -> before/after accuracy tables -> one
+  `workflows.refinement_pipeline` run per metric on a corrupted set.
+
+Same dataset + pseudo-label protocol as tools/full_severity_sweep.py
+(labeled CIFAR is not mounted; accuracy = agreement with the model's
+clean predictions, so TENT/refinement deltas read as corruption-flip
+recovery). Writes RESULTS_ADAPT.md + RESULTS_ADAPT.json +
+plots/tent_recovery.png.
+
+Run (TPU): python tools/adapt_artifacts.py
+Smoke (tiny, any backend): python tools/adapt_artifacts.py --smoke
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from tools.full_severity_sweep import CKPT, load_dataset  # noqa: E402
+
+#: refinement table metrics (the three cifar_iterative_* variants)
+REFINE_METRICS = ("shannon_entropy", "msp", "energy")
+
+
+def load_model_full():
+    """ResNet-56 + raw variables (tent needs the params pytree + BN-train
+    apply; eval paths use the running-stats apply)."""
+    import jax.numpy as jnp
+    import torch
+
+    from imagetransformations_tpu.models.resnet import (
+        load_torch_state_dict,
+        normalize_cifar,
+        resnet56,
+    )
+
+    sd = torch.load(CKPT, map_location="cpu", weights_only=True)["state_dict"]
+    variables = load_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items() if "num_batches" not in k}
+    )
+    model = resnet56()
+    batch_stats = variables.get("batch_stats")
+
+    def model_fn(xin):  # eval mode (running stats)
+        return model.apply(variables, xin)
+
+    def model_apply_bn_train(params, xin):
+        # TENT semantics: BN uses BATCH statistics (the reference resets
+        # running stats and keeps BN in train behavior,
+        # TENT_Pipelines.py:70-83); the mutable stats update is discarded
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, xin,
+            train=True, mutable=["batch_stats"],
+        )
+        return logits
+
+    def to_model_space(x_u8):
+        return normalize_cifar(x_u8.astype(jnp.float32) / 255.0)
+
+    return model, variables, model_fn, model_apply_bn_train, to_model_space
+
+
+def run_tent(images_u8, corruptions, severities, lr=2.5e-4):
+    import jax
+    import jax.numpy as jnp
+
+    from imagetransformations_tpu.evalx.harness import _forward_all_fn
+    from imagetransformations_tpu.workflows import tent_sweep
+
+    _, variables, model_fn, apply_bn_train, to_model_space = load_model_full()
+    xb = jnp.asarray(images_u8)
+    clean_logits = _forward_all_fn(model_fn, to_model_space, 256)(xb)
+    labels = jnp.argmax(clean_logits, axis=-1)
+    t0 = time.time()
+    res = tent_sweep(
+        apply_bn_train, variables["params"], corruptions, severities,
+        xb, labels, to_model_space, jax.random.key(0), lr=lr,
+    )
+    return res, labels, time.time() - t0
+
+
+def run_refinement(images_u8, labels, corruption="gaussian_noise", severity=3,
+                   metrics=REFINE_METRICS):
+    import jax
+    import jax.numpy as jnp
+
+    from imagetransformations_tpu.evalx.harness import corrupt
+    from imagetransformations_tpu.workflows import refinement_pipeline
+
+    _, _, model_fn, _, to_model_space = load_model_full()
+    imgs = corrupt(jnp.asarray(images_u8), corruption, severity, jax.random.key(7))
+    out = {}
+    t0 = time.time()
+    for m in metrics:
+        out[m] = refinement_pipeline(
+            model_fn, to_model_space, imgs, labels, metric=m
+        )
+    return out, time.time() - t0
+
+
+def write_artifacts(tent_res, refine_res, meta, repo: str = REPO) -> list[str]:
+    names = list(tent_res)
+    severities = sorted(next(iter(tent_res.values())))
+    protocols = list(next(iter(next(iter(tent_res.values())).values())))
+    paths = []
+
+    jpath = os.path.join(repo, "RESULTS_ADAPT.json")
+    with open(jpath, "w") as f:
+        json.dump({"meta": meta, "tent": tent_res, "refinement": refine_res}, f, indent=1)
+    paths.append(jpath)
+
+    lines = [
+        "# Adaptation science artifacts — TENT + refinement on TPU",
+        "",
+        f"Reference ResNet-56 checkpoint over {len(names)} corruptions x "
+        f"{len(severities)} severities, {meta['images_per_cell']} images/cell "
+        f"({meta['dataset']}). Accuracy = agreement with the model's clean "
+        "predictions (pseudo-labels; see tools/full_severity_sweep.py). "
+        f"Device: {meta['device']}; TENT wall {meta['tent_wall_s']:.1f} s, "
+        f"refinement wall {meta['refine_wall_s']:.1f} s.",
+        "",
+        "## TENT: baseline vs adapted accuracy "
+        "(fall_2025/TENT_Pipelines.py:305-408)",
+        "",
+        "Mean over corruptions, by severity and protocol "
+        f"(lr={meta['tent_lr']}, Adam + grad-clip 1.0; 'conditional' gates "
+        "adaptation on batch image-pixel entropy):",
+        "",
+        "| severity | " + " | ".join(protocols) + " |",
+        "|---|" + "---|" * len(protocols),
+    ]
+    for s in severities:
+        row = [
+            f"{np.mean([tent_res[n][s][p] for n in names]):.3f}"
+            for p in protocols
+        ]
+        lines.append(f"| s{s} | " + " | ".join(row) + " |")
+    lines += [
+        "",
+        "Per-corruption accuracy at the highest severity "
+        f"(s{severities[-1]}):",
+        "",
+        "| corruption | " + " | ".join(protocols) + " |",
+        "|---|" + "---|" * len(protocols),
+    ]
+    smax = severities[-1]
+    for n in names:
+        row = [f"{tent_res[n][smax][p]:.3f}" for p in protocols]
+        lines.append(f"| {n} | " + " | ".join(row) + " |")
+    lines += [
+        "",
+        "## Refinement: threshold -> reverse-FGSM -> re-eval "
+        "(pipeline/cifar_iterative_mc.py:425-435,549-553)",
+        "",
+        f"Corrupted set: {meta['refine_corruption']} severity "
+        f"{meta['refine_severity']}; flagged = metric above its Youden "
+        "threshold; flagged inputs refined by reverse FGSM "
+        f"(eps={meta['refine_eps']}, <= {meta['refine_iters_max']} iters).",
+        "",
+        "| metric | threshold | flagged | iters | acc before | acc after | "
+        "fixed | broken |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for m, r in refine_res.items():
+        lines.append(
+            f"| {m} | {r['threshold']:.4f} | {r['n_flagged']} | "
+            f"{r['refine_iters']} | {r['acc_before']:.3f} | "
+            f"{r['acc_after']:.3f} | {r['fixed']} | {r['broken']} |"
+        )
+    lines += [
+        "",
+        "Raw data: `RESULTS_ADAPT.json`; plot: `plots/tent_recovery.png`. "
+        "Regenerate with `python tools/adapt_artifacts.py`.",
+        "",
+    ]
+    mpath = os.path.join(repo, "RESULTS_ADAPT.md")
+    with open(mpath, "w") as f:
+        f.write("\n".join(lines))
+    paths.append(mpath)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    muted, accent, ink2 = "#b5b5b5", "#2f6fd6", "#c2571a"
+    os.makedirs(os.path.join(repo, "plots"), exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6.0, 4.0))
+    styles = {
+        "baseline": dict(color=muted, lw=1.6, ls="--"),
+        "continuous": dict(color=accent, lw=2.0),
+        "reset": dict(color=accent, lw=1.4, ls=":"),
+        "conditional": dict(color=ink2, lw=1.6),
+    }
+    for p in protocols:
+        ys = [float(np.mean([tent_res[n][s][p] for n in names])) for s in severities]
+        ax.plot(severities, ys, label=p, **styles.get(p, dict(lw=1.5)))
+    ax.set_xlabel("severity")
+    ax.set_ylabel("agreement with clean prediction")
+    ax.set_xticks(list(severities))
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.grid(axis="y", color="#e6e6e6", lw=0.6)
+    ax.legend(frameon=False, fontsize=8)
+    ax.set_title(
+        f"TENT recovery by protocol (mean of {len(names)} corruptions)",
+        fontsize=9,
+    )
+    fig.tight_layout()
+    p1 = os.path.join(repo, "plots", "tent_recovery.png")
+    fig.savefig(p1, dpi=160)
+    plt.close(fig)
+    paths.append(p1)
+    return paths
+
+
+def main() -> None:
+    import jax
+
+    from imagetransformations_tpu.evalx.harness import CORRUPTIONS
+
+    smoke = "--smoke" in sys.argv
+    imgs = load_dataset(limit=12 if smoke else None)
+    corruptions = ("gaussian_noise", "contrast") if smoke else tuple(CORRUPTIONS)
+    severities = (1, 3) if smoke else (1, 2, 3, 4, 5)
+    lr = 2.5e-4
+    tent_res, labels, tent_wall = run_tent(imgs, corruptions, severities, lr=lr)
+    refine_res, refine_wall = run_refinement(
+        imgs, labels,
+        corruption="gaussian_noise", severity=3 if not smoke else 1,
+        metrics=REFINE_METRICS if not smoke else REFINE_METRICS[:1],
+    )
+    meta = {
+        "dataset": f"{imgs.shape[0] // 2} reference imagenette JPEGs x 2 views @ 32x32",
+        "images_per_cell": int(imgs.shape[0]),
+        "tent_wall_s": tent_wall,
+        "refine_wall_s": refine_wall,
+        "tent_lr": lr,
+        "refine_corruption": "gaussian_noise",
+        "refine_severity": 3 if not smoke else 1,
+        "refine_eps": 0.03,
+        "refine_iters_max": 10,
+        "device": str(jax.devices()[0]),
+        "checkpoint": CKPT,
+        "labels": "pseudo (clean-prediction agreement)",
+    }
+    paths = write_artifacts(tent_res, refine_res, meta)
+    print(
+        f"tent {len(corruptions)}x{len(severities)} cells in {tent_wall:.1f} s; "
+        f"refinement in {refine_wall:.1f} s -> " + ", ".join(paths)
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,12 @@ def main_split_per_op() -> None:
         float(jnp.sum(res[t][1][:1, :8, :8].astype(jnp.float32)))
         out[t] = round(time.time() - t0, 1)
         print(f"{t}: split first call {out[t]:.1f} s", flush=True)
+    print(
+        "note: types run sequentially in ONE process, so later types reuse "
+        "XLA-internal sub-graph caches warmed by earlier ones — per-op "
+        "attribution can under-report shared compile for later types; true "
+        "isolation needs one fresh process per type (ADVICE r4)."
+    )
     print(json.dumps(out))
 
 

@@ -32,7 +32,7 @@ def main() -> None:
     from imagetransformations_tpu.adapt import evolution
     from tools.full_severity_sweep import load_dataset, load_model
 
-    model_fn, to_model_space = load_model()
+    model_fn, to_model_space = load_model()[:2]
     imgs = jnp.asarray(load_dataset(limit=(n + 1) // 2)[:n])
 
     def run(seed):
