@@ -88,9 +88,56 @@ def crossover(a: Individual, b: Individual, rng: random.Random) -> Individual:
 from imagetransformations_tpu.core.jitutil import IdLRUCache
 
 #: fused chain+forward+uncertainty executables per (model, preprocess,
-#: genome, threshold). Elites and duplicate genomes recur every
+#: genome, threshold) — fallback for genome lengths the universal
+#: executable doesn't cover. Elites and duplicate genomes recur every
 #: generation; without this each fitness call re-jitted the whole chain.
 _FITNESS_CACHE = IdLRUCache(maxsize=128)
+
+#: ONE executable for EVERY genome (per model/preprocess/threshold/
+#: genome-length): lax.switch over the (op, value) gene combos applied
+#: per genome slot, with the combo indices as RUNTIME operands. The
+#: per-genome cache above compiled a fresh chain per distinct genome —
+#: measured 358.9 s cold for 33 distinct genomes in the pop-15 x 3-gen
+#: reference search on v5e (tools/probe_evolution.py, round 5); one
+#: switch executable compiles every branch once instead.
+_UNIVERSAL_CACHE = IdLRUCache(maxsize=8)
+
+#: the gene combos in GENE_POOL iteration order — the universal
+#: executable's branch table (index = combo id)
+_GENE_COMBOS: list[tuple[str, object]] = [
+    (op, val) for op, vals in GENE_POOL.items() for val in vals
+]
+_COMBO_INDEX = {c: i for i, c in enumerate(_GENE_COMBOS)}
+
+
+def _universal_fitness_fn(model_fn, to_model_space, msp_threshold, length):
+    fn = _UNIVERSAL_CACHE.get(
+        (model_fn, to_model_space), (float(msp_threshold), int(length))
+    )
+    if fn is not None:
+        return fn
+    branches = []
+    for op, val in _GENE_COMBOS:
+        pk = _PARAM_KEY.get(op)
+        spec = OpSpec(op, {} if pk is None else {pk: val})
+        branches.append(build_chain_fn([spec], jit=False))
+
+    @jax.jit
+    def fn(x, k, idx):
+        ks = jax.random.split(k, length)
+        for s in range(length):
+            x = jax.lax.switch(
+                idx[s], [lambda xx, br=br, kk=ks[s]: br(xx, kk) for br in branches], x
+            )
+        logits = model_fn(to_model_space(x))
+        msp = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+        unc = jnp.where(msp < msp_threshold, 1.0, 1.0 - msp)
+        return 1.0 / (1.0 + jnp.mean(unc))
+
+    _UNIVERSAL_CACHE.put(
+        (model_fn, to_model_space), (float(msp_threshold), int(length)), fn
+    )
+    return fn
 
 
 def fitness_fn(
@@ -103,9 +150,16 @@ def fitness_fn(
 ) -> float:
     """fitness = 1 / (1 + mean uncertainty); uncertainty = 1 if MSP < thr
     else 1 - MSP (cifar_image_transformations.py:177-201). Chain, forward
-    and the uncertainty reduction run as ONE jitted dispatch, cached per
-    genome."""
+    and the uncertainty reduction run as ONE jitted dispatch; genomes
+    drawn from GENE_POOL share ONE switch-based executable (combo ids as
+    runtime operands), so a whole search pays one compile."""
     genome_key = tuple(individual.genome)
+    if all(g in _COMBO_INDEX for g in individual.genome):
+        fn = _universal_fitness_fn(
+            model_fn, to_model_space, msp_threshold, len(individual.genome)
+        )
+        idx = jnp.asarray([_COMBO_INDEX[g] for g in individual.genome], jnp.int32)
+        return float(fn(images_u8, key, idx))
     fn = _FITNESS_CACHE.get(
         (model_fn, to_model_space), (genome_key, float(msp_threshold))
     )
