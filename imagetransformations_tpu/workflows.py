@@ -90,17 +90,36 @@ def refinement_pipeline(
 
 def tent_sweep(
     model_apply_bn_train, params, corruptions, severities, clean_images_u8,
-    labels, to_model_space, key, lr: float = 2.5e-4, batch_size: int = 256,
+    labels, to_model_space, key, lr=2.5e-4, batch_size: int = 256,
     protocols=("baseline", "continuous", "reset", "conditional"),
-    image_entropy_threshold: float = 1.16,
+    image_entropy_threshold: float = 1.16, model_apply_eval=None,
 ):
     """Corruption x severity x protocol accuracy matrix (TENT_Pipelines).
 
     Batches are passed to evaluate_with_tent as (model_space, raw_u8) tuples
     so the 'conditional' protocol (image-pixel-entropy gate,
     TENT_Pipelines.py:239-303) is exercised end to end.
+
+    ``model_apply_eval(x) -> logits``: the un-adapted eval-mode forward
+    (BN running stats) for the 'baseline' row, matching the reference's
+    ``evaluate_baseline`` (TENT_Pipelines.py:146-160, ``model.eval()``).
+    If None, the baseline falls back to the batch-stat forward — which
+    already folds in TENT's main lever (BN recalibration on the corrupted
+    batch) and therefore understates the adapted-vs-baseline delta.
+
+    ``lr`` is a float for all protocols or a ``{protocol: lr}`` mapping;
+    the reference uses 2.5e-4 for continuous and 1e-3 for reset and
+    conditional (TENT_Pipelines.py:353-366).
     """
     from imagetransformations_tpu.adapt.tent import evaluate_with_tent, init_tent, merge_params
+
+    def _lr_for(proto):
+        return float(lr[proto]) if isinstance(lr, dict) else float(lr)
+
+    def _baseline_fwd(x):
+        if model_apply_eval is not None:
+            return model_apply_eval(x)
+        return model_apply_bn_train(params, x)
 
     @jax.jit
     def _baseline_count(xb_stack, yb_stack):
@@ -109,7 +128,7 @@ def tent_sweep(
         # fetch per batch on every cell)
         def body(_, inp):
             x, y = inp
-            lg = model_apply_bn_train(params, x)
+            lg = _baseline_fwd(x)
             return None, jnp.sum((jnp.argmax(lg, -1) == y).astype(jnp.int32))
 
         _, cs = jax.lax.scan(body, None, (xb_stack, yb_stack))
@@ -140,13 +159,13 @@ def tent_sweep(
                             labels[:main].reshape(nb, batch_size),
                         ))
                     if main < n:  # ragged tail batch
-                        lg = model_apply_bn_train(params, xs[main:])
+                        lg = _baseline_fwd(xs[main:])
                         correct += int(jnp.sum(jnp.argmax(lg, -1) == labels[main:]))
                     row[proto] = correct / max(total, 1)
                 else:
                     row[proto] = evaluate_with_tent(
                         model_apply_bn_train, params, batches, lbatches,
-                        lr=lr, protocol=proto,
+                        lr=_lr_for(proto), protocol=proto,
                         image_entropy_threshold=image_entropy_threshold,
                     )
             results[name][sev] = row

@@ -77,13 +77,15 @@ def load_model_full():
     return model, variables, model_fn, model_apply_bn_train, to_model_space
 
 
-def run_tent(images_u8, corruptions, severities, lr=2.5e-4):
+def run_tent(images_u8, corruptions, severities, lr=None):
     import jax
     import jax.numpy as jnp
 
     from imagetransformations_tpu.evalx.harness import _forward_all_fn
     from imagetransformations_tpu.workflows import tent_sweep
 
+    # the reference's per-protocol lrs (TENT_Pipelines.py:353-366)
+    lr = lr or {"continuous": 2.5e-4, "reset": 1e-3, "conditional": 1e-3}
     _, variables, model_fn, apply_bn_train, to_model_space = load_model_full()
     xb = jnp.asarray(images_u8)
     clean_logits = _forward_all_fn(model_fn, to_model_space, 256)(xb)
@@ -92,6 +94,7 @@ def run_tent(images_u8, corruptions, severities, lr=2.5e-4):
     res = tent_sweep(
         apply_bn_train, variables["params"], corruptions, severities,
         xb, labels, to_model_space, jax.random.key(0), lr=lr,
+        model_apply_eval=model_fn,
     )
     return res, labels, time.time() - t0
 
@@ -140,8 +143,9 @@ def write_artifacts(tent_res, refine_res, meta, repo: str = REPO) -> list[str]:
         "(fall_2025/TENT_Pipelines.py:305-408)",
         "",
         "Mean over corruptions, by severity and protocol "
-        f"(lr={meta['tent_lr']}, Adam + grad-clip 1.0; 'conditional' gates "
-        "adaptation on batch image-pixel entropy):",
+        f"(lr={meta['tent_lr']}, Adam + grad-clip 1.0; baseline = eval-mode "
+        "BN running stats, adapted = batch-stat BN + entropy steps; "
+        "'conditional' gates adaptation on batch image-pixel entropy):",
         "",
         "| severity | " + " | ".join(protocols) + " |",
         "|---|" + "---|" * len(protocols),
@@ -239,7 +243,7 @@ def main() -> None:
     imgs = load_dataset(limit=12 if smoke else None)
     corruptions = ("gaussian_noise", "contrast") if smoke else tuple(CORRUPTIONS)
     severities = (1, 3) if smoke else (1, 2, 3, 4, 5)
-    lr = 2.5e-4
+    lr = {"continuous": 2.5e-4, "reset": 1e-3, "conditional": 1e-3}
     tent_res, labels, tent_wall = run_tent(imgs, corruptions, severities, lr=lr)
     refine_res, refine_wall = run_refinement(
         imgs, labels,
