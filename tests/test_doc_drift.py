@@ -20,7 +20,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: in user-facing docs (PERF.md keeps them as historical record; that is
 #: its job, so it is exempt)
 SUPERSEDED = (
-    "8.4-10.4",   # round-3 traced band (round 4: 9.9-11.3; round 5: ~10.4)
+    "8.4-10.4",   # round-3 traced band (round 4: 9.9-11.3; round 5: 10.4-11.5)
+    "~10.4 Gpix",  # round-5 single-run traced claim (fresh band: 10.4-11.5)
     "14.04 Gpix",  # round-3 single-run headline (round 4+: band 13.1-15.6)
     "227 Gpix",    # round-4 sub-RPC-floor measurement artifact (purged)
 )
