@@ -205,8 +205,9 @@ def main() -> None:
 
     gpix_strict = extra(lambda: timed_gpix(BATCH, H, W, k=96, fn=strict_fn))
     # CIFAR shape (the reference's primary data shape, every metric/sweep
-    # script): the multi-image-packed gray1 kernel — 8 lane x 8 sublane
-    # images per slab (ops/pallas/megakernel._mega_gray1_packed_kernel).
+    # script): the multi-image-packed gray1 kernel — 16 lane x 16 sublane
+    # images per slab at this batch, sub-128 compartment strides
+    # (ops/pallas/megakernel._mega_gray1_packed_kernel, _pack_factors).
     # batch 4096 x k=96 so the scan window (~80 ms) clears the RPC floor
     # at this tiny per-call pixel count (4.2 Mpix/call)
     gpix32 = extra(

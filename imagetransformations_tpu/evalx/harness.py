@@ -30,6 +30,7 @@ from imagetransformations_tpu.ops import elementwise as ew
 from imagetransformations_tpu.ops import noise as nz
 from imagetransformations_tpu.ops import stencil as st
 from imagetransformations_tpu.ops import warp as wp
+from imagetransformations_tpu.uq import mahalanobis as _maha
 from imagetransformations_tpu.uq import metrics as um
 from imagetransformations_tpu.uq.calibration import auroc, youden_threshold
 
@@ -547,9 +548,10 @@ def _cell_stats_uq_fn(metric_names: tuple):
                 score = -score
             aucs.append(auroc(score, errors))
         aucs.append(auroc(od, errors))
-        c = feats.astype(jnp.float32) - mmean
-        maha = jnp.sqrt(
-            jnp.maximum(jnp.einsum("bd,de,be->b", c, mprec, c), 0.0)
+        # one implementation of the quadratic form (incl. its MXU
+        # Precision.HIGHEST requirement) lives in uq.mahalanobis.score
+        maha = _maha.score(
+            _maha.MahalanobisState(mmean, mprec, per_class=False), feats
         )
         aucs.append(auroc(maha, errors))
         return jnp.mean(correct), jnp.stack(aucs)

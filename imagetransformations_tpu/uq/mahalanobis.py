@@ -52,12 +52,22 @@ def fit(features: jnp.ndarray, labels: jnp.ndarray | None = None,
 
 
 def score(state: MahalanobisState, features: jnp.ndarray) -> jnp.ndarray:
-    """Mahalanobis distance per sample -> [B] (higher = more OOD/uncertain)."""
+    """Mahalanobis distance per sample -> [B] (higher = more OOD/uncertain).
+
+    Precision.HIGHEST: the TPU MXU truncates default-precision f32 einsum
+    inputs to bf16 (8 mantissa bits); the quadratic form's ranks — which
+    are all AUROC consumes — are sensitive near ties, so keep true-f32
+    accumulation to match the reference's full-precision math. Cost is
+    negligible at feature dims (D=64).
+    """
+    hi = jax.lax.Precision.HIGHEST
     f = features.astype(jnp.float32)
     if not state.per_class:
         c = f - state.mean
-        return jnp.sqrt(jnp.maximum(jnp.einsum("bd,de,be->b", c, state.precision, c), 0.0))
+        return jnp.sqrt(jnp.maximum(
+            jnp.einsum("bd,de,be->b", c, state.precision, c, precision=hi), 0.0
+        ))
     # [B, K, D] diffs -> min over classes of the quadratic form
     diffs = f[:, None, :] - state.mean[None, :, :]
-    q = jnp.einsum("bkd,de,bke->bk", diffs, state.precision, diffs)
+    q = jnp.einsum("bkd,de,bke->bk", diffs, state.precision, diffs, precision=hi)
     return jnp.sqrt(jnp.maximum(jnp.min(q, axis=1), 0.0))

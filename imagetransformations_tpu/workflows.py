@@ -134,6 +134,16 @@ def tent_sweep(
         _, cs = jax.lax.scan(body, None, (xb_stack, yb_stack))
         return jnp.sum(cs)
 
+    @jax.jit
+    def _baseline_count_tail(xb, yb):
+        # the ragged tail must also run jitted: model_apply_eval is a raw
+        # Flax apply, and an eager ResNet forward dispatches per op over
+        # the tunnel (~40 ms each — this single call dominated the round-5
+        # TENT artifact wall before being jitted). One compile per tail
+        # shape, which is constant across cells.
+        lg = _baseline_fwd(xb)
+        return jnp.sum((jnp.argmax(lg, -1) == yb).astype(jnp.int32))
+
     results: dict = {}
     for name in corruptions:
         results[name] = {}
@@ -159,8 +169,9 @@ def tent_sweep(
                             labels[:main].reshape(nb, batch_size),
                         ))
                     if main < n:  # ragged tail batch
-                        lg = _baseline_fwd(xs[main:])
-                        correct += int(jnp.sum(jnp.argmax(lg, -1) == labels[main:]))
+                        correct += int(
+                            _baseline_count_tail(xs[main:], labels[main:])
+                        )
                     row[proto] = correct / max(total, 1)
                 else:
                     row[proto] = evaluate_with_tent(

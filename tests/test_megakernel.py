@@ -258,7 +258,8 @@ def test_traced_grouped_routing_ragged_and_budget_edge(rng):
     divisible by the group height leave a ragged tail group, and the exact
     budget angle (22.5) drives the largest coarse shifts + residuals — both
     must stay <=1 LSB vs the stream oracle. Also pins the ungrouped
-    fallback (_TRACED_GROUP_ROWS=0) to identical outputs."""
+    fallback (_TRACED_GROUP_ROWS=-1; 0 means AUTO since the one-sided
+    grouped-routing change) to identical outputs."""
     from imagetransformations_tpu.ops.pallas import megakernel as mk
 
     imgs = rng.integers(0, 256, (2, 40, 56, 3), dtype=np.uint8)
@@ -290,7 +291,11 @@ def test_traced_grouped_routing_ragged_and_budget_edge(rng):
         assert err.max() <= 1, ("nongray", a, err.max())
 
     old = mk._TRACED_GROUP_ROWS
-    mk._TRACED_GROUP_ROWS = 0
+    old2 = mk._TRACED_GROUP_ROWS2
+    # -1 disables grouping on BOTH passes (0 selects the auto group height
+    # since round 5, which would compare the grouped config to itself)
+    mk._TRACED_GROUP_ROWS = -1
+    mk._TRACED_GROUP_ROWS2 = -1
     try:
         mk._fused_blur_rotate_batched_jit.clear_cache()
         ungrouped = np.asarray(
@@ -307,6 +312,7 @@ def test_traced_grouped_routing_ragged_and_budget_edge(rng):
         )
     finally:
         mk._TRACED_GROUP_ROWS = old
+        mk._TRACED_GROUP_ROWS2 = old2
         mk._fused_blur_rotate_batched_jit.clear_cache()
     np.testing.assert_array_equal(out, ungrouped)
     np.testing.assert_array_equal(out_ng, ungrouped_ng)

@@ -52,13 +52,23 @@ PGD_EPS = 8 / 255
 PATCH_CORRUPTION = ("gaussian_noise", 3)
 
 
+_MODEL01_CACHE = None
+
+
 def _model01():
-    """[0,1]-space logits fn + pseudo-labels helper from the shared loader."""
+    """[0,1]-space logits fn + pseudo-labels helper from the shared loader.
+
+    Cached: the four run_* stages share ONE checkpoint load and one
+    model closure (a fresh closure per stage would also defeat the
+    jitted attack executables' static-model_fn cache)."""
+    global _MODEL01_CACHE
+    if _MODEL01_CACHE is not None:
+        return _MODEL01_CACHE
     import jax.numpy as jnp
 
     from imagetransformations_tpu.models.resnet import normalize_cifar
 
-    model_fn, _feats, _to_ms = load_model()
+    model_fn, _to_model_space, _feats_logits = load_model()
 
     def model01(x01):
         return model_fn(normalize_cifar(x01))
@@ -66,7 +76,8 @@ def _model01():
     def to01(x_u8):
         return jnp.asarray(x_u8).astype(jnp.float32) / 255.0
 
-    return model01, to01
+    _MODEL01_CACHE = (model01, to01)
+    return _MODEL01_CACHE
 
 
 def _pseudo_labels(model01, x01, batch: int = 256):
@@ -282,8 +293,13 @@ def write_artifacts(fgsm_rows, min_eps, pgd_res, patch_res, meta,
         "",
         f"- fraction of images flipped within eps <= 16/255: "
         f"**{min_eps['frac_flipped_le_16']:.3f}**",
-        f"- median / mean minimal eps (x255) over flipped images: "
-        f"**{min_eps['median_eps_255']:.1f} / {min_eps['mean_eps_255']:.1f}**",
+        "- median / mean minimal eps (x255) over flipped images: "
+        + (
+            f"**{min_eps['median_eps_255']:.1f} / "
+            f"{min_eps['mean_eps_255']:.1f}**"
+            if min_eps["median_eps_255"] is not None
+            else "**n/a (no image flipped within the grid)**"
+        ),
         "",
         "## Angelic patches under corruption "
         "(angellic.py:129-134, cifar100_angelic_entropyloss.py:41-70)",

@@ -1,5 +1,12 @@
 """Same-process A/B of grouped vs log-only routing in the traced gray1
-megakernel (see _shear_pass_traced_grouped). Run on the real chip."""
+megakernel (see _shear_pass_traced_grouped). Run on the real chip.
+
+Flag semantics (round 5): _TRACED_GROUP_ROWS{,2} == 0 means AUTO group
+height (_auto_group_rows, the 1-bit (6,3) default at the 22.5-deg
+budget); -1 disables grouping (pure log route); >0 pins the height.
+Each setting here pins BOTH passes (pass 2 at gh//2, the historical
+(8,4)/(16,8) pairing); ``0`` rows therefore measure the auto-grouped
+config and ``-1`` rows the log-only baseline."""
 
 from __future__ import annotations
 
@@ -23,7 +30,8 @@ K = 48
 
 def bench_setting(gh: int, x, ang) -> dict:
     mk._TRACED_GROUP_ROWS = gh
-    jax.clear_caches()  # force retrace so the module flag takes effect
+    mk._TRACED_GROUP_ROWS2 = gh // 2 if gh > 0 else gh
+    jax.clear_caches()  # force retrace so the module flags take effect
 
     def step(c, _):
         return (
@@ -60,7 +68,7 @@ def main() -> None:
     out = []
     gh_list = (
         tuple(int(g) for g in sys.argv[1:]) if len(sys.argv) > 1
-        else (0, 16, 0, 16, 32)
+        else (-1, 0, -1, 0, 16)
     )
     for gh in gh_list:
         r = bench_setting(gh, x, ang)

@@ -42,7 +42,9 @@ def traced_fn(x):
 
 def _run8(gh):
     # gh semantics match megakernel._TRACED_GROUP_ROWS: tuple = pinned
-    # per-pass heights, 0 = auto (one-sided 2-bit), -1 = ungrouped log route
+    # per-pass heights, 0 = auto (_auto_group_rows target_range=1, i.e.
+    # the ONE-bit (6,3) route at the 22.5-deg budget), -1 = ungrouped
+    # log route
     gh1, gh2 = gh if isinstance(gh, tuple) else (gh, gh)
     mk._TRACED_GROUP_ROWS = gh1
     mk._TRACED_GROUP_ROWS2 = gh2
