@@ -137,10 +137,12 @@ def tent_sweep(
     @jax.jit
     def _baseline_count_tail(xb, yb):
         # the ragged tail must also run jitted: model_apply_eval is a raw
-        # Flax apply, and an eager ResNet forward dispatches per op over
-        # the tunnel (~40 ms each — this single call dominated the round-5
-        # TENT artifact wall before being jitted). One compile per tail
-        # shape, which is constant across cells.
+        # Flax apply, so the tail otherwise runs an eager per-op forward
+        # over the tunnel once per cell. (Measured effect on the full
+        # 15x5-cell artifact was within the +-10% tunnel variance — the
+        # wall is dominated by the adaptation scans — but eager public
+        # paths are against the dispatch-floor contract regardless.) One
+        # compile per tail shape, which is constant across cells.
         lg = _baseline_fwd(xb)
         return jnp.sum((jnp.argmax(lg, -1) == yb).astype(jnp.int32))
 
